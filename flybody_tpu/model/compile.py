@@ -243,7 +243,9 @@ def extract(m) -> _spec.FlyModel:
         geom_condim=tuple(map(int, m.geom_condim)),
         geom_priority=tuple(map(int, m.geom_priority)),
         geom_group=tuple(map(int, m.geom_group)),
+        geom_sameframe=tuple(map(int, m.geom_sameframe)),
         site_bodyid=tuple(map(int, m.site_bodyid)),
+        site_sameframe=tuple(map(int, m.site_sameframe)),
         cam_bodyid=tuple(map(int, m.cam_bodyid)),
         actuator_trntype=tuple(map(int, m.actuator_trntype)),
         actuator_trnid=tuple(int(x[0]) for x in m.actuator_trnid),

@@ -130,9 +130,11 @@ class Meta:
     geom_condim: tuple[int, ...]
     geom_priority: tuple[int, ...]
     geom_group: tuple[int, ...]
+    geom_sameframe: tuple[int, ...]
 
     # Sites / cameras.
     site_bodyid: tuple[int, ...]
+    site_sameframe: tuple[int, ...]
     cam_bodyid: tuple[int, ...]
 
     # Actuators.
