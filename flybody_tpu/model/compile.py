@@ -244,6 +244,9 @@ def extract(m) -> _spec.FlyModel:
         geom_priority=tuple(map(int, m.geom_priority)),
         geom_group=tuple(map(int, m.geom_group)),
         geom_sameframe=tuple(map(int, m.geom_sameframe)),
+        geom_fluid_active=tuple(
+            bool(x) for x in (np.asarray(m.geom_fluid).reshape(
+                m.ngeom, -1)[:, 0] != 0)),
         site_bodyid=tuple(map(int, m.site_bodyid)),
         site_sameframe=tuple(map(int, m.site_sameframe)),
         cam_bodyid=tuple(map(int, m.cam_bodyid)),

@@ -131,6 +131,9 @@ class Meta:
     geom_priority: tuple[int, ...]
     geom_group: tuple[int, ...]
     geom_sameframe: tuple[int, ...]
+    # Nonzero geom_fluid[0] (ellipsoid fluid-interaction geoms); static
+    # because fluidshape activation is a build-time spec transformation.
+    geom_fluid_active: tuple[bool, ...]
 
     # Sites / cameras.
     site_bodyid: tuple[int, ...]

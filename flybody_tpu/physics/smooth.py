@@ -1,0 +1,395 @@
+"""Smooth (constraint-free) dynamics: velocities, CRB, RNE, passive forces,
+actuation, and the smooth forward pass.
+
+TPU-first design: the classic recursive algorithms are recast as dense
+masked matmuls that map onto the MXU and batch over thousands of flies:
+
+  * body spatial velocities   cvel = (A ⊙ qvel) @ cdof          (A = ancestor mask)
+  * dof motion derivatives    cdof_dot[i] = vel_prefix(i) ×ₘ cdof[i]
+  * mass matrix               M = Σ_b J_bᵀ I_b J_b  as one (nv × 6·nbody)
+                              by (6·nbody × nv) matmul
+  * bias forces               qfrc_bias = cdof · (Aᵀ f_bodies)
+
+Reference semantics: MuJoCo mj_comVel / mj_crb / mj_rne / mj_passive /
+mj_fwdActuation, applied to the fly model (fruitfly.xml).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flybody_tpu.model import spec as _s
+from flybody_tpu.model.spec import FlyModel
+from flybody_tpu.physics import math as sm
+from flybody_tpu.physics.state import Data
+
+
+# -----------------------------------------------------------------------------
+# Velocity stage.
+
+
+def com_vel(model: FlyModel, data: Data) -> Data:
+    """Body spatial velocities and dof motion-vector derivatives."""
+    qvel = data.qvel
+    cdof = data.cdof
+    # cvel[b] = sum over ancestor dofs of cdof_i * qvel_i.
+    cvel = (model.body_dof_mask.astype(qvel.dtype) * qvel) @ cdof
+    # Velocity prefix seen by each dof (mj_comVel accumulation order).
+    prefix = (model.dof_prefix_mask.astype(qvel.dtype) * qvel) @ cdof
+    cdof_dot = sm.motion_cross(prefix, cdof)
+    return data.replace(cvel=cvel, cdof_dot=cdof_dot)
+
+
+def tendon_vel(model: FlyModel, data: Data) -> Data:
+    ten_velocity = model.ten_J.astype(data.qvel.dtype) @ data.qvel
+    return data.replace(ten_velocity=ten_velocity)
+
+
+# -----------------------------------------------------------------------------
+# Composite rigid body: dense mass matrix.
+
+
+def crb(model: FlyModel, data: Data) -> Data:
+    """Dense joint-space mass matrix M = Σ_b J_bᵀ I_b J_b + armature."""
+    dtype = data.qpos.dtype
+    mask = model.body_dof_mask.astype(dtype)  # (nbody, nv)
+    # K[b] = mask_b ⊙ cdof : (nbody, nv, 6)
+    K = mask[:, :, None] * data.cdof[None, :, :]
+    # Y[b] = K[b] @ I_b : (nbody, nv, 6)
+    Y = jnp.einsum('bvi,bij->bvj', K, data.cinert)
+    nb = K.shape[0]
+    nv = K.shape[1]
+    # M = Σ_b Y_b K_bᵀ as one MXU matmul.
+    M = (jnp.swapaxes(Y, 0, 1).reshape(nv, nb * 6)
+         @ jnp.swapaxes(K, 0, 1).reshape(nv, nb * 6).T)
+    M = M + jnp.diag(model.dof_armature.astype(dtype))
+    return data.replace(qM=M)
+
+
+def factor_m(model: FlyModel, data: Data,
+             extra_diag: jax.Array | None = None) -> Data:
+    """Cholesky factorization of (qM + diag(extra_diag))."""
+    M = data.qM
+    if extra_diag is not None:
+        M = M + jnp.diag(extra_diag)
+    return data.replace(qLD=jax.scipy.linalg.cho_factor(M, lower=True)[0])
+
+
+def solve_m(model: FlyModel, data: Data, rhs: jax.Array) -> jax.Array:
+    """Solve qM x = rhs using the cached Cholesky factor."""
+    return jax.scipy.linalg.cho_solve((data.qLD, True), rhs)
+
+
+# -----------------------------------------------------------------------------
+# Recursive Newton-Euler: bias forces.
+
+
+def rne(model: FlyModel, data: Data) -> Data:
+    """qfrc_bias = C(qpos, qvel) qvel + gravity loads (mj_rne, flg_acc=0)."""
+    dtype = data.qpos.dtype
+    qvel = data.qvel
+    mask = model.body_dof_mask.astype(dtype)
+
+    # Velocity-product accelerations + gravity pseudo-acceleration.
+    cacc = (mask * qvel) @ data.cdof_dot  # (nbody, 6)
+    grav = jnp.concatenate(
+        [jnp.zeros(3, dtype), -model.gravity.astype(dtype)])
+    cacc = cacc + grav
+
+    # Per-body Newton-Euler forces: f = I a + v ×* (I v).
+    Iv = jnp.einsum('bij,bj->bi', data.cinert, data.cvel)
+    f = jnp.einsum('bij,bj->bi', data.cinert, cacc) + sm.force_cross(
+        data.cvel, Iv)
+
+    # Project into joint space: qfrc_bias_i = cdof_i · Σ_{b ⊇ i} f_b.
+    qfrc_bias = jnp.einsum('vi,vi->v', data.cdof, mask.T @ f)
+    return data.replace(qfrc_bias=qfrc_bias)
+
+
+# -----------------------------------------------------------------------------
+# Passive forces: joint/tendon springs and dampers. (Fluid forces are added
+# by physics/fluid.py on top of these.)
+
+
+@functools.lru_cache(maxsize=8)
+def _spring_tables(meta: _s.Meta):
+    """1:1 qpos<->dof maps for slide/hinge joints with springs."""
+    qadr, dadr = [], []
+    for j in range(meta.njnt):
+        if meta.jnt_type[j] in (_s.SLIDE, _s.HINGE):
+            qadr.append(meta.jnt_qposadr[j])
+            dadr.append(meta.jnt_dofadr[j])
+        else:
+            # Spring on ball/free joints unsupported (zero in the fly model).
+            pass
+    jids = [j for j in range(meta.njnt)
+            if meta.jnt_type[j] in (_s.SLIDE, _s.HINGE)]
+    return (np.array(qadr, dtype=np.int64), np.array(dadr, dtype=np.int64),
+            np.array(jids, dtype=np.int64))
+
+
+def passive(model: FlyModel, data: Data) -> Data:
+    """Spring/damper passive forces (mj_passive minus fluid)."""
+    dtype = data.qpos.dtype
+    meta = model.meta
+    qfrc = jnp.zeros((meta.nv,), dtype)
+
+    # Joint springs (slide/hinge): -k (qpos - qpos_spring).
+    qadr, dadr, jids = _spring_tables(meta)
+    if len(jids):
+        k = model.jnt_stiffness[jids].astype(dtype)
+        disp = data.qpos[qadr] - model.qpos_spring[qadr].astype(dtype)
+        qfrc = qfrc.at[dadr].add(-k * disp)
+
+    # Dof dampers: -b qvel.
+    qfrc = qfrc - model.dof_damping.astype(dtype) * data.qvel
+
+    # Tendon springs (with deadband) and dampers.
+    if meta.ntendon:
+        ls = model.ten_lengthspring.astype(dtype)
+        length = data.ten_length
+        disp = jnp.where(length > ls[:, 1], length - ls[:, 1],
+                         jnp.where(length < ls[:, 0], length - ls[:, 0],
+                                   jnp.zeros_like(length)))
+        frc = (-model.ten_stiffness.astype(dtype) * disp
+               - model.ten_damping.astype(dtype) * data.ten_velocity)
+        qfrc = qfrc + model.ten_J.astype(dtype).T @ frc
+
+    return data.replace(qfrc_passive=qfrc)
+
+
+# -----------------------------------------------------------------------------
+# Actuation.
+
+
+@functools.lru_cache(maxsize=8)
+def _act_tables(meta: _s.Meta):
+    """Static actuator tables: transmission length maps and dynamics masks."""
+    nu = meta.nu
+    trn_qadr = np.zeros(nu, dtype=np.int64)  # qpos index for joint trans
+    trn_dadr = np.zeros(nu, dtype=np.int64)
+    is_joint = np.zeros(nu)
+    is_tendon = np.zeros(nu)
+    ten_id = np.zeros(nu, dtype=np.int64)
+    for u in range(nu):
+        t = meta.actuator_trntype[u]
+        tid = meta.actuator_trnid[u]
+        if t == _s.TRN_JOINT:
+            is_joint[u] = 1.0
+            trn_qadr[u] = meta.jnt_qposadr[tid]
+            trn_dadr[u] = meta.jnt_dofadr[tid]
+        elif t == _s.TRN_TENDON:
+            is_tendon[u] = 1.0
+            ten_id[u] = tid
+    dyn = np.array(meta.actuator_dyntype)
+    has_act = np.array(meta.actuator_actadr) >= 0
+    act_first = np.array(
+        [meta.actuator_actadr[u] if has_act[u] else 0 for u in range(nu)],
+        dtype=np.int64)
+    # Static act-index -> actuator-index map (the fly model's stateful
+    # actuators all have actnum == 1).
+    na = sum(1 for a in meta.actuator_actadr if a >= 0)
+    act_to_u = np.zeros(max(na, 1), dtype=np.int64)
+    for u in range(nu):
+        if meta.actuator_actadr[u] >= 0:
+            act_to_u[meta.actuator_actadr[u]] = u
+    act_to_u = act_to_u[:na]
+    return dict(trn_qadr=trn_qadr, trn_dadr=trn_dadr, is_joint=is_joint,
+                is_tendon=is_tendon, ten_id=ten_id, dyn=dyn,
+                has_act=has_act.astype(np.float64), act_first=act_first,
+                act_to_u=act_to_u)
+
+
+def actuation(model: FlyModel, data: Data) -> Data:
+    """Actuator forces and activation derivatives (mj_fwdActuation)."""
+    dtype = data.qpos.dtype
+    meta = model.meta
+    tb = _act_tables(meta)
+
+    # Clamp ctrl to ctrlrange (all fly actuators are ctrllimited,
+    # fruitfly.xml:11).
+    ctrlrange = model.actuator_ctrlrange.astype(dtype)
+    ctrl = jnp.clip(data.ctrl, ctrlrange[:, 0], ctrlrange[:, 1])
+
+    # Activation dynamics: filter / filterexact share act_dot = (ctrl-act)/tau.
+    if meta.na:
+        act_for_u = data.act[tb['act_first']]
+        tau = jnp.maximum(model.actuator_dynprm[:, 0].astype(dtype), 1e-10)
+        act_dot_u = (ctrl - act_for_u) / tau
+        act_dot = act_dot_u[tb['act_to_u']]
+        # Actuator input: act if stateful else ctrl.
+        has_act = jnp.asarray(tb['has_act'], dtype)
+        inp = has_act * act_for_u + (1.0 - has_act) * ctrl
+    else:
+        act_dot = jnp.zeros((0,), dtype)
+        inp = ctrl
+
+    # Transmission length/velocity.
+    length = (jnp.asarray(tb['is_joint'], dtype)
+              * data.qpos[tb['trn_qadr']]
+              + jnp.asarray(tb['is_tendon'], dtype)
+              * data.ten_length[tb['ten_id']])
+    velocity = (jnp.asarray(tb['is_joint'], dtype)
+                * data.qvel[tb['trn_dadr']]
+                + jnp.asarray(tb['is_tendon'], dtype)
+                * data.ten_velocity[tb['ten_id']])
+    gear = model.actuator_gear0.astype(dtype)
+    length = length * gear
+    velocity = velocity * gear
+
+    # Gain (fixed) and bias (none / affine).
+    gain = model.actuator_gainprm[:, 0].astype(dtype)
+    bias = (model.actuator_biasprm[:, 0].astype(dtype)
+            + model.actuator_biasprm[:, 1].astype(dtype) * length
+            + model.actuator_biasprm[:, 2].astype(dtype) * velocity)
+    is_affine = jnp.asarray(
+        np.array(meta.actuator_biastype) == _s.BIAS_AFFINE, dtype)
+    force = gain * inp + is_affine * bias
+
+    # Clamp to forcerange where limited.
+    fr = model.actuator_forcerange.astype(dtype)
+    limited = model.actuator_forcelimited.astype(dtype)
+    force = limited * jnp.clip(force, fr[:, 0], fr[:, 1]) + (
+        1.0 - limited) * force
+
+    qfrc_actuator = model.actuator_moment.astype(dtype).T @ force
+    return data.replace(actuator_force=force, act_dot=act_dot,
+                        qfrc_actuator=qfrc_actuator, ctrl=data.ctrl)
+
+
+# -----------------------------------------------------------------------------
+# Applied forces.
+
+
+def xfrc_accumulate(model: FlyModel, data: Data) -> jax.Array:
+    """Map Cartesian per-body applied wrenches to joint space.
+
+    data.xfrc_applied follows the mjData convention (force(3); torque(3))
+    applied at the body frame origin, world coordinates.
+    """
+    if data.xfrc_applied is None:
+        return jnp.zeros((model.meta.nv,), data.qpos.dtype)
+    dtype = data.qpos.dtype
+    # Convert to (torque; force) at the kinematic-root subtree CoM point.
+    root = np.array(model.meta.body_rootid)
+    ref = data.subtree_com[root]
+    force = data.xfrc_applied[:, :3]
+    torque = data.xfrc_applied[:, 3:]
+    torque_ref = torque + jnp.cross(data.xpos - ref, force)
+    f = jnp.concatenate([torque_ref, force], axis=-1)
+    mask = model.body_dof_mask.astype(dtype)
+    return jnp.einsum('vi,vi->v', data.cdof, mask.T @ f)
+
+
+# -----------------------------------------------------------------------------
+# Smooth forward + Euler integration.
+
+
+def fwd_smooth(model: FlyModel, data: Data) -> Data:
+    """Everything up to (but excluding) constraints: fills qfrc_smooth."""
+    from flybody_tpu.physics import kinematics as kin
+    from flybody_tpu.physics import fluid as _fluid
+
+    data, _, _ = kin.fwd_position_smooth(model, data)
+    data = com_vel(model, data)
+    data = tendon_vel(model, data)
+    data = crb(model, data)
+    data = rne(model, data)
+    data = passive(model, data)
+    data = _fluid.fluid(model, data)
+    data = actuation(model, data)
+
+    qfrc_applied = (data.qfrc_applied if data.qfrc_applied is not None
+                    else jnp.zeros_like(data.qvel))
+    qfrc_smooth = (data.qfrc_passive + data.qfrc_fluid + data.qfrc_actuator
+                   + qfrc_applied + xfrc_accumulate(model, data)
+                   - data.qfrc_bias)
+    return data.replace(qfrc_smooth=qfrc_smooth)
+
+
+@functools.lru_cache(maxsize=8)
+def _integrate_tables(meta: _s.Meta):
+    """qpos/dof correspondence for integration, grouped by joint type."""
+    lin_q, lin_d = [], []  # 1:1 qpos-dof (hinge/slide + free translation)
+    quat_q, quat_d = [], []  # quaternion qpos with 3 dofs (ball/free-rot)
+    for j in range(meta.njnt):
+        t, qadr, dadr = (meta.jnt_type[j], meta.jnt_qposadr[j],
+                         meta.jnt_dofadr[j])
+        if t in (_s.SLIDE, _s.HINGE):
+            lin_q.append(qadr)
+            lin_d.append(dadr)
+        elif t == _s.BALL:
+            quat_q.append(qadr)
+            quat_d.append(dadr)
+        elif t == _s.FREE:
+            lin_q += [qadr, qadr + 1, qadr + 2]
+            lin_d += [dadr, dadr + 1, dadr + 2]
+            quat_q.append(qadr + 3)
+            quat_d.append(dadr + 3)
+    return (np.array(lin_q, dtype=np.int64), np.array(lin_d, dtype=np.int64),
+            np.array(quat_q, dtype=np.int64),
+            np.array(quat_d, dtype=np.int64))
+
+
+def integrate_pos(model: FlyModel, qpos: jax.Array, qvel: jax.Array,
+                  dt) -> jax.Array:
+    """mj_integratePos: advance qpos by qvel*dt with quaternion handling."""
+    from flybody_tpu.utils import quaternions as quat
+
+    lin_q, lin_d, quat_q, quat_d = _integrate_tables(model.meta)
+    out = qpos
+    if len(lin_q):
+        out = out.at[lin_q].add(dt * qvel[lin_d])
+    if len(quat_q):
+        gather_q = quat_q[:, None] + np.arange(4)[None, :]
+        gather_d = quat_d[:, None] + np.arange(3)[None, :]
+        q = qpos[gather_q]
+        w = qvel[gather_d]
+        q_new = quat.integrate_quat(q, w, dt)
+        out = out.at[gather_q].set(q_new)
+    return out
+
+
+def _advance_act(model: FlyModel, data: Data, dt) -> jax.Array:
+    """Advance activations: Euler for `filter`, exact for `filterexact`."""
+    meta = model.meta
+    if not meta.na:
+        return data.act
+    dtype = data.act.dtype
+    tb = _act_tables(meta)
+    dyn = np.array(meta.actuator_dyntype)[tb['act_to_u']]
+    tau = jnp.maximum(
+        model.actuator_dynprm[tb['act_to_u'], 0].astype(dtype), 1e-10)
+    euler_new = data.act + dt * data.act_dot
+    # filterexact: act + act_dot * tau * (1 - exp(-dt/tau)).
+    exact_new = data.act + data.act_dot * tau * (1.0 - jnp.exp(-dt / tau))
+    is_exact = jnp.asarray(dyn == _s.DYN_FILTEREXACT, dtype)
+    return is_exact * exact_new + (1.0 - is_exact) * euler_new
+
+
+def euler(model: FlyModel, data: Data) -> Data:
+    """Semi-implicit Euler with implicit joint damping (mj_Euler)."""
+    dt = model.timestep.astype(data.qpos.dtype)
+    # Implicit damping: qacc = (M + dt diag(b))^{-1} qfrc_total.
+    qfrc = data.qfrc_smooth + (data.qfrc_constraint
+                               if data.qfrc_constraint is not None
+                               else jnp.zeros_like(data.qfrc_smooth))
+    data = factor_m(model, data,
+                    extra_diag=dt * model.dof_damping.astype(qfrc.dtype))
+    qacc = solve_m(model, data, qfrc)
+    act = _advance_act(model, data, dt)
+    qvel = data.qvel + dt * qacc
+    qpos = integrate_pos(model, data.qpos, qvel, dt)
+    return data.replace(qpos=qpos, qvel=qvel, act=act, qacc=qacc,
+                        time=data.time + dt)
+
+
+def step_smooth(model: FlyModel, data: Data) -> Data:
+    """One contact-free physics step: smooth forward + Euler."""
+    data = fwd_smooth(model, data)
+    data = data.replace(qfrc_constraint=jnp.zeros_like(data.qfrc_smooth))
+    return euler(model, data)

@@ -76,6 +76,19 @@ class Data:
     # Contacts (filled by the collision/solver modules).
     contact: Any = None
 
+    def strip(self) -> 'Data':
+        """Primary state only (derived fields reset to None).
+
+        Use as the carry in lax.scan substep loops: the stripped pytree has
+        the same structure as a fresh make_data() output, so scan carries
+        stay structure-stable while XLA dead-code-eliminates the derived
+        fields of intermediate steps.
+        """
+        return Data(time=self.time, qpos=self.qpos, qvel=self.qvel,
+                    act=self.act, ctrl=self.ctrl,
+                    qfrc_applied=self.qfrc_applied,
+                    xfrc_applied=self.xfrc_applied)
+
 
 def make_data(model: FlyModel, dtype: Any = None) -> Data:
     """Fresh Data at qpos0 with zero velocities and controls."""

@@ -27,7 +27,7 @@ def _run_both(models, seed):
     mujoco.mj_comPos(m, d)
     mujoco.mj_tendon(m, d)
 
-    data = make_data(fly).replace(qpos=np.asarray(d.qpos))
+    data = make_data(fly).replace(qpos=d.qpos.copy())
     data, xanchor, xaxis = kin.fwd_position_smooth(fly, data)
     return fly, m, d, data, np.asarray(xanchor), np.asarray(xaxis)
 
