@@ -256,6 +256,9 @@ def extract(m) -> _spec.FlyModel:
         actuator_gaintype=tuple(map(int, m.actuator_gaintype)),
         actuator_biastype=tuple(map(int, m.actuator_biastype)),
         actuator_actadr=tuple(map(int, m.actuator_actadr)),
+        exclude_pairs=tuple(
+            (int(sig >> 16), int(sig & 0xffff))
+            for sig in np.asarray(m.exclude_signature).reshape(-1)),
         sensor_type=tuple(map(int, m.sensor_type)),
         sensor_objid=tuple(map(int, m.sensor_objid)),
         sensor_adr=tuple(map(int, m.sensor_adr)),

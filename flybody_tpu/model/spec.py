@@ -148,6 +148,10 @@ class Meta:
     actuator_biastype: tuple[int, ...]
     actuator_actadr: tuple[int, ...]  # -1 if stateless
 
+    # Contact excludes: (body1, body2) pairs (fruitfly.xml:733-761 plus any
+    # task-added excludes).
+    exclude_pairs: tuple[tuple[int, int], ...]
+
     # Sensors.
     sensor_type: tuple[int, ...]
     sensor_objid: tuple[int, ...]

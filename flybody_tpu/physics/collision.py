@@ -1,0 +1,398 @@
+"""Collision detection: static pair tables, analytic narrowphase for the
+dominant pair types, MPR for general convex pairs.
+
+Pair filtering replicates MuJoCo's rules (contype/conaffinity compatibility,
+same-body/weld and parent-child filters, explicit exclude list from
+fruitfly.xml:733-761). Pairs are canonicalized so geom1's type <= geom2's
+type, matching MuJoCo's normal convention (normal points from geom1 into
+geom2).
+
+TPU-first: all candidate pairs are evaluated every step as masked vector
+ops (the fly has ~2.3k self-pairs — cheap next to CRB); the constraint
+solver then gathers the top-K deepest contacts into its static-size rows.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from flybody_tpu.model import spec as _s
+from flybody_tpu.model.spec import FlyModel
+from flybody_tpu.physics import mpr as _mpr
+from flybody_tpu.physics.state import Data
+
+# Max contacts a pair slot can produce, by canonical (type1, type2).
+_PAIR_NCON = {
+    (_s.GEOM_PLANE, _s.GEOM_SPHERE): 1,
+    (_s.GEOM_PLANE, _s.GEOM_CAPSULE): 2,
+    (_s.GEOM_PLANE, _s.GEOM_ELLIPSOID): 1,
+    (_s.GEOM_PLANE, _s.GEOM_CYLINDER): 3,
+    (_s.GEOM_SPHERE, _s.GEOM_SPHERE): 1,
+    (_s.GEOM_SPHERE, _s.GEOM_CAPSULE): 1,
+    (_s.GEOM_SPHERE, _s.GEOM_ELLIPSOID): 1,
+    (_s.GEOM_SPHERE, _s.GEOM_CYLINDER): 1,
+    (_s.GEOM_CAPSULE, _s.GEOM_CAPSULE): 1,
+    (_s.GEOM_CAPSULE, _s.GEOM_ELLIPSOID): 1,
+    (_s.GEOM_CAPSULE, _s.GEOM_CYLINDER): 1,
+    (_s.GEOM_ELLIPSOID, _s.GEOM_ELLIPSOID): 1,
+    (_s.GEOM_ELLIPSOID, _s.GEOM_CYLINDER): 1,
+    (_s.GEOM_CYLINDER, _s.GEOM_CYLINDER): 1,
+}
+
+# Pairs handled by MPR rather than analytic formulas.
+_MPR_PAIRS = {
+    (_s.GEOM_SPHERE, _s.GEOM_ELLIPSOID),
+    (_s.GEOM_SPHERE, _s.GEOM_CYLINDER),
+    (_s.GEOM_CAPSULE, _s.GEOM_ELLIPSOID),
+    (_s.GEOM_CAPSULE, _s.GEOM_CYLINDER),
+    (_s.GEOM_ELLIPSOID, _s.GEOM_ELLIPSOID),
+    (_s.GEOM_ELLIPSOID, _s.GEOM_CYLINDER),
+    (_s.GEOM_CYLINDER, _s.GEOM_CYLINDER),
+}
+
+
+@functools.lru_cache(maxsize=8)
+def pair_tables(meta: _s.Meta):
+    """Static candidate-pair tables grouped by canonical type pair."""
+    ngeom = meta.ngeom
+    parent = np.array(meta.body_parentid)
+    weld = np.array(meta.body_weldid)
+    gtype = np.array(meta.geom_type)
+    gbody = np.array(meta.geom_bodyid)
+    contype = np.array(meta.geom_contype)
+    conaff = np.array(meta.geom_conaffinity)
+    excl = set(meta.exclude_pairs)
+
+    groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for g1 in range(ngeom):
+        for g2 in range(g1 + 1, ngeom):
+            b1, b2 = gbody[g1], gbody[g2]
+            if b1 == b2 or weld[b1] == weld[b2]:
+                continue
+            w1, w2 = weld[b1], weld[b2]
+            pw1, pw2 = weld[parent[w1]], weld[parent[w2]]
+            # Parent-child filter (world parent exempt).
+            if (w1 == pw2 and w2 != 0) or (w2 == pw1 and w1 != 0):
+                continue
+            if (int(b1), int(b2)) in excl or (int(b2), int(b1)) in excl:
+                continue
+            if not ((contype[g1] & conaff[g2]) or (contype[g2] & conaff[g1])):
+                continue
+            # Canonical order by type (MuJoCo convention).
+            a, b = (g1, g2) if gtype[g1] <= gtype[g2] else (g2, g1)
+            key = (int(gtype[a]), int(gtype[b]))
+            if key not in _PAIR_NCON:
+                raise NotImplementedError(f'collision pair type {key}')
+            groups.setdefault(key, []).append((a, b))
+
+    out = {}
+    slot_geom1, slot_geom2, slot_condim = [], [], []
+    condim = np.array(meta.geom_condim)
+    prio = np.array(meta.geom_priority)
+    for key in sorted(groups):
+        g1 = np.array([p[0] for p in groups[key]])
+        g2 = np.array([p[1] for p in groups[key]])
+        k = _PAIR_NCON[key]
+        out[key] = (g1, g2, k)
+        for p1, p2 in groups[key]:
+            if prio[p1] != prio[p2]:
+                cd = condim[p1] if prio[p1] > prio[p2] else condim[p2]
+            else:
+                cd = max(condim[p1], condim[p2])
+            slot_geom1 += [p1] * k
+            slot_geom2 += [p2] * k
+            slot_condim += [int(cd)] * k
+
+    return dict(
+        groups=out,
+        slot_geom1=np.array(slot_geom1, dtype=np.int64),
+        slot_geom2=np.array(slot_geom2, dtype=np.int64),
+        slot_condim=np.array(slot_condim, dtype=np.int64),
+        slot_body1=gbody[np.array(slot_geom1, dtype=np.int64)],
+        slot_body2=gbody[np.array(slot_geom2, dtype=np.int64)],
+        nslot=len(slot_geom1),
+    )
+
+
+@struct.dataclass
+class Contact:
+    """All candidate contact slots (static size S)."""
+
+    dist: jax.Array  # (S,)
+    pos: jax.Array  # (S, 3)
+    normal: jax.Array  # (S, 3), geom1 -> geom2
+    friction: jax.Array  # (S, 5)
+    solref: jax.Array  # (S, 2)
+    solimp: jax.Array  # (S, 5)
+    margin: jax.Array  # (S,)
+    includemargin: jax.Array  # (S,) = margin - gap
+
+
+def _combine_params(model: FlyModel, g1: np.ndarray, g2: np.ndarray):
+    """MuJoCo contact-parameter mixing (equal-priority path; the fly model
+    has all priorities equal — validated at table build)."""
+    dtype = model.geom_friction.dtype
+    meta = model.meta
+    prio = np.array(meta.geom_priority)
+    f1 = model.geom_friction[g1]
+    f2 = model.geom_friction[g2]
+    p1 = jnp.asarray((prio[g1] > prio[g2]).astype(np.float64), dtype)[:, None]
+    p2 = jnp.asarray((prio[g2] > prio[g1]).astype(np.float64), dtype)[:, None]
+    peq = 1.0 - p1 - p2
+    fmax = jnp.maximum(f1, f2)
+    f3 = peq * fmax + p1 * f1 + p2 * f2
+    friction = jnp.stack([f3[:, 0], f3[:, 0], f3[:, 1], f3[:, 2], f3[:, 2]],
+                         axis=-1)
+
+    # solmix weighting.
+    m1 = model.geom_solmix[g1]
+    m2 = model.geom_solmix[g2]
+    both_pos = (m1 >= 1e-15) & (m2 >= 1e-15)
+    w1 = jnp.where(both_pos, m1 / jnp.maximum(m1 + m2, 1e-15),
+                   jnp.where(m1 >= 1e-15, 1.0,
+                             jnp.where(m2 >= 1e-15, 0.0, 0.5)))
+    w2 = 1.0 - w1
+    sr1 = model.geom_solref[g1]
+    sr2 = model.geom_solref[g2]
+    # Standard (positive timeconst) -> weighted avg; direct (<=0) -> min.
+    standard = (sr1[:, 0] > 0) & (sr2[:, 0] > 0)
+    solref = jnp.where(standard[:, None],
+                       w1[:, None] * sr1 + w2[:, None] * sr2,
+                       jnp.minimum(sr1, sr2))
+    solimp_mix = (w1[:, None] * model.geom_solimp[g1]
+                  + w2[:, None] * model.geom_solimp[g2])
+    solref = peq * solref + p1 * sr1 + p2 * sr2
+    solimp = (peq * solimp_mix + p1 * model.geom_solimp[g1]
+              + p2 * model.geom_solimp[g2])
+
+    # MuJoCo 3.x semantics (validated empirically): combined margin is the
+    # SUM of geom margins; `gap` no longer excludes contacts from the
+    # solver, so includemargin == margin.
+    margin = model.geom_margin[g1] + model.geom_margin[g2]
+    return friction, solref, solimp, margin, margin
+
+
+# -----------------------------------------------------------------------------
+# Analytic narrowphase. All handlers return (dist (P,k), pos (P,k,3),
+# normal (P,k,3)) with k = _PAIR_NCON of the pair type.
+
+
+def _plane_sphere(pp, pn, c, r):
+    dist = jnp.einsum('pi,pi->p', c - pp, pn) - r
+    pos = c - pn * (r[:, None] + 0.5 * dist[:, None])
+    return dist[:, None], pos[:, None], jnp.broadcast_to(
+        pn[:, None], pos[:, None].shape)
+
+
+def _h_plane_sphere(model, data, g1, g2):
+    pp = data.geom_xpos[g1]
+    pn = data.geom_xmat[g1][:, :, 2]
+    c = data.geom_xpos[g2]
+    r = model.geom_size[g2][:, 0]
+    return _plane_sphere(pp, pn, c, r)
+
+
+def _h_plane_capsule(model, data, g1, g2):
+    pp = data.geom_xpos[g1]
+    pn = data.geom_xmat[g1][:, :, 2]
+    c = data.geom_xpos[g2]
+    axis = data.geom_xmat[g2][:, :, 2]
+    r = model.geom_size[g2][:, 0]
+    h = model.geom_size[g2][:, 1]
+    d1, p1, n1 = _plane_sphere(pp, pn, c + h[:, None] * axis, r)
+    d2, p2, n2 = _plane_sphere(pp, pn, c - h[:, None] * axis, r)
+    return (jnp.concatenate([d1, d2], 1), jnp.concatenate([p1, p2], 1),
+            jnp.concatenate([n1, n2], 1))
+
+
+def _h_plane_ellipsoid(model, data, g1, g2):
+    pp = data.geom_xpos[g1]
+    pn = data.geom_xmat[g1][:, :, 2]
+    c = data.geom_xpos[g2]
+    R = data.geom_xmat[g2]
+    size = model.geom_size[g2]
+    nl = jnp.einsum('pij,pi->pj', R, pn)  # R^T n
+    denom = jnp.linalg.norm(size * nl, axis=-1, keepdims=True)
+    x_local = -(size * size * nl) / jnp.maximum(denom, 1e-15)
+    point = c + jnp.einsum('pij,pj->pi', R, x_local)
+    dist = jnp.einsum('pi,pi->p', point - pp, pn)
+    pos = point - 0.5 * dist[:, None] * pn
+    return dist[:, None], pos[:, None], jnp.broadcast_to(
+        pn[:, None], pos[:, None].shape)
+
+
+def _h_plane_cylinder(model, data, g1, g2):
+    """Plane-cylinder: 2 side-line contacts when lying, else 3 lower-cap rim
+    candidates at azimuths (deepest, ±120°). Matches observed MuJoCo
+    behavior; non-penetrating candidates are masked by dist."""
+    pp = data.geom_xpos[g1]
+    n = data.geom_xmat[g1][:, :, 2]
+    c = data.geom_xpos[g2]
+    a = data.geom_xmat[g2][:, :, 2]
+    r = model.geom_size[g2][:, 0:1]
+    h = model.geom_size[g2][:, 1:2]
+    ca = jnp.einsum('pi,pi->p', a, n)[:, None]  # cos(axis, normal)
+
+    # Rim mode: lower cap center and in-disk downhill direction.
+    lower = c - jnp.sign(ca) * h * a
+    u = n - ca * a  # component of n in disk plane (points uphill)
+    un = jnp.linalg.norm(u, axis=-1, keepdims=True)
+    u = jnp.where(un > 1e-12, u / jnp.maximum(un, 1e-15),
+                  data.geom_xmat[g2][:, :, 0])
+    w = jnp.cross(a, u)
+    deep = lower - r * u
+    rim2 = lower - r * (-0.5 * u + 0.866025403784439 * w)
+    rim3 = lower - r * (-0.5 * u - 0.866025403784439 * w)
+    rim = jnp.stack([deep, rim2, rim3], axis=1)
+
+    # Side mode (|cos| ~ 0): two cap-center points pushed down by r along
+    # the in-plane normal.
+    nperp = n - ca * a
+    npn = jnp.linalg.norm(nperp, axis=-1, keepdims=True)
+    nperp = nperp / jnp.maximum(npn, 1e-15)
+    side1 = c + h * a - r * nperp
+    side2 = c - h * a - r * nperp
+    side = jnp.stack([side1, side2, side2], axis=1)  # 3rd duplicates
+
+    lying = (jnp.abs(ca) < 1e-4)[:, :, None]
+    pts = jnp.where(lying[:, 0:1], side, rim)
+    dist = jnp.einsum('pki,pi->pk', pts - pp[:, None], n)
+    # Duplicate third side contact: deactivate.
+    dist = jnp.where(lying[:, 0] & (jnp.arange(3) == 2)[None, :],
+                     jnp.full_like(dist, 1e10), dist)
+    pos = pts - 0.5 * dist[..., None] * n[:, None]
+    normal = jnp.broadcast_to(n[:, None], pos.shape)
+    return dist, pos, normal
+
+
+def _sphere_sphere(c1, r1, c2, r2):
+    d = c2 - c1
+    dn = jnp.linalg.norm(d, axis=-1)
+    n = d / jnp.maximum(dn[:, None], 1e-15)
+    dist = dn - r1 - r2
+    pos = c1 + n * (r1 + 0.5 * dist)[:, None]
+    return dist[:, None], pos[:, None], n[:, None]
+
+
+def _h_sphere_sphere(model, data, g1, g2):
+    return _sphere_sphere(data.geom_xpos[g1], model.geom_size[g1][:, 0],
+                          data.geom_xpos[g2], model.geom_size[g2][:, 0])
+
+
+def _h_sphere_capsule(model, data, g1, g2):
+    c1 = data.geom_xpos[g1]
+    r1 = model.geom_size[g1][:, 0]
+    c2 = data.geom_xpos[g2]
+    a = data.geom_xmat[g2][:, :, 2]
+    r2 = model.geom_size[g2][:, 0]
+    h = model.geom_size[g2][:, 1]
+    t = jnp.clip(jnp.einsum('pi,pi->p', c1 - c2, a), -h, h)
+    closest = c2 + t[:, None] * a
+    return _sphere_sphere(c1, r1, closest, r2)
+
+
+def _seg_seg_closest(p1, d1, h1, p2, d2, h2):
+    """Closest points between segments p±h*d (batched)."""
+    r = p1 - p2
+    a = jnp.einsum('pi,pi->p', d1, d1)
+    e = jnp.einsum('pi,pi->p', d2, d2)
+    f = jnp.einsum('pi,pi->p', d2, r)
+    cdot = jnp.einsum('pi,pi->p', d1, r)
+    b = jnp.einsum('pi,pi->p', d1, d2)
+    denom = a * e - b * b
+    # Line-line parameters, clamped (standard segment-segment algorithm).
+    s = jnp.where(denom > 1e-14, (b * f - cdot * e) / jnp.maximum(
+        denom, 1e-15), 0.0)
+    s = jnp.clip(s, -h1, h1)
+    t = (b * s + f) / jnp.maximum(e, 1e-15)
+    t_cl = jnp.clip(t, -h2, h2)
+    s = jnp.clip((b * t_cl - cdot) / jnp.maximum(a, 1e-15), -h1, h1)
+    t = jnp.clip((b * s + f) / jnp.maximum(e, 1e-15), -h2, h2)
+    return p1 + s[:, None] * d1, p2 + t[:, None] * d2
+
+
+def _h_capsule_capsule(model, data, g1, g2):
+    c1 = data.geom_xpos[g1]
+    a1 = data.geom_xmat[g1][:, :, 2]
+    r1 = model.geom_size[g1][:, 0]
+    h1 = model.geom_size[g1][:, 1]
+    c2 = data.geom_xpos[g2]
+    a2 = data.geom_xmat[g2][:, :, 2]
+    r2 = model.geom_size[g2][:, 0]
+    h2 = model.geom_size[g2][:, 1]
+    q1, q2 = _seg_seg_closest(c1, a1, h1, c2, a2, h2)
+    # Coincident closest points (crossing segments): fall back to a
+    # perpendicular of the first axis.
+    d = q2 - q1
+    tiny = jnp.linalg.norm(d, axis=-1, keepdims=True) < 1e-12
+    fallback = jnp.cross(a1, a2)
+    fn = jnp.linalg.norm(fallback, axis=-1, keepdims=True)
+    fallback = jnp.where(fn > 1e-12, fallback / jnp.maximum(fn, 1e-15),
+                         jnp.cross(a1, jnp.broadcast_to(
+                             jnp.asarray([1.0, 0.0, 0.0], d.dtype), d.shape)))
+    q2_adj = jnp.where(tiny, q2 + 1e-12 * fallback, q2)
+    return _sphere_sphere(q1, r1, q2_adj, r2)
+
+
+def _mpr_handler(t1, t2):
+    def h(model, data, g1, g2):
+        dist, n, pos = _mpr.mpr_penetration(
+            t1, t2, data.geom_xpos[g1], data.geom_xmat[g1],
+            model.geom_size[g1], data.geom_xpos[g2], data.geom_xmat[g2],
+            model.geom_size[g2], margin1=model.geom_margin[g1],
+            margin2=model.geom_margin[g2])
+        return dist[:, None], pos[:, None], n[:, None]
+    return h
+
+
+def _handler(key):
+    if key in _MPR_PAIRS:
+        return _mpr_handler(*key)
+    return {
+        (_s.GEOM_PLANE, _s.GEOM_SPHERE): _h_plane_sphere,
+        (_s.GEOM_PLANE, _s.GEOM_CAPSULE): _h_plane_capsule,
+        (_s.GEOM_PLANE, _s.GEOM_ELLIPSOID): _h_plane_ellipsoid,
+        (_s.GEOM_PLANE, _s.GEOM_CYLINDER): _h_plane_cylinder,
+        (_s.GEOM_SPHERE, _s.GEOM_SPHERE): _h_sphere_sphere,
+        (_s.GEOM_SPHERE, _s.GEOM_CAPSULE): _h_sphere_capsule,
+        (_s.GEOM_CAPSULE, _s.GEOM_CAPSULE): _h_capsule_capsule,
+    }[key]
+
+
+def collide(model: FlyModel, data: Data) -> Contact:
+    """Evaluate all candidate pairs; returns static-size contact slots."""
+    meta = model.meta
+    tb = pair_tables(meta)
+    dtype = data.qpos.dtype
+
+    dists, poss, normals = [], [], []
+    frictions, solrefs, solimps, margins, incmargins = [], [], [], [], []
+    for key, (g1, g2, k) in tb['groups'].items():
+        d, p, n = _handler(key)(model, data, g1, g2)
+        fr, sr, si, mg, im = _combine_params(model, g1, g2)
+        dists.append(d.reshape(-1))
+        poss.append(p.reshape(-1, 3))
+        normals.append(n.reshape(-1, 3))
+        rep = lambda x: jnp.repeat(x, k, axis=0)
+        frictions.append(rep(fr))
+        solrefs.append(rep(sr))
+        solimps.append(rep(si))
+        margins.append(rep(mg))
+        incmargins.append(rep(im))
+
+    return Contact(
+        dist=jnp.concatenate(dists).astype(dtype),
+        pos=jnp.concatenate(poss).astype(dtype),
+        normal=jnp.concatenate(normals).astype(dtype),
+        friction=jnp.concatenate(frictions).astype(dtype),
+        solref=jnp.concatenate(solrefs).astype(dtype),
+        solimp=jnp.concatenate(solimps).astype(dtype),
+        margin=jnp.concatenate(margins).astype(dtype),
+        includemargin=jnp.concatenate(incmargins).astype(dtype),
+    )

@@ -1,0 +1,145 @@
+"""Full physics step: the TPU-native counterpart of mj_step.
+
+Pipeline (matching MuJoCo's stage ordering):
+  1. position stage: FK, com quantities, tendons, collision
+  2. velocity stage: body velocities, tendon velocities
+  3. actuation (including adhesion transmission through contact normals)
+  4. passive + fluid forces, RNE bias, CRB mass matrix
+  5. constraint solve (Newton, elliptic cones + joint limits, noslip)
+  6. semi-implicit Euler integration with implicit joint damping
+
+All stages are fixed-shape, jit/vmap/scan-friendly. `step` is the hot
+function: vmap it over thousands of flies and scan it over substeps.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flybody_tpu.model.spec import FlyModel, TRN_BODY
+from flybody_tpu.physics import collision as _col
+from flybody_tpu.physics import fluid as _fluid
+from flybody_tpu.physics import kinematics as _kin
+from flybody_tpu.physics import smooth as _sm
+from flybody_tpu.physics import solver as _sol
+from flybody_tpu.physics.state import Data, make_data
+
+
+@functools.lru_cache(maxsize=8)
+def _adhesion_tables(meta):
+    """Static adhesion actuator -> body map."""
+    adh_u, adh_body, adh_gain_idx = [], [], []
+    for u in range(meta.nu):
+        if meta.actuator_trntype[u] == TRN_BODY:
+            adh_u.append(u)
+            adh_body.append(meta.actuator_trnid[u])
+    return np.array(adh_u, dtype=np.int64), np.array(adh_body,
+                                                     dtype=np.int64)
+
+
+def adhesion_moment(model: FlyModel, efc: _sol.EfcRows,
+                    contact_bodies: tuple[jax.Array, jax.Array]):
+    """Adhesion transmission moments (nu_adh, nv).
+
+    moment_u = -(1/n_u) * sum of normal-J rows over active contacts that
+    involve actuator u's body (validated against mjData.actuator_moment).
+    """
+    meta = model.meta
+    dtype = efc.con_J.dtype
+    adh_u, adh_body = _adhesion_tables(meta)
+    if len(adh_u) == 0:
+        return adh_u, jnp.zeros((0, meta.nv), dtype)
+    b1, b2 = contact_bodies  # (K,) traced int arrays
+    # involve[u, k] = 1 iff contact k touches body of actuator u.
+    bodies = jnp.asarray(adh_body)[:, None]
+    involve = ((b1[None, :] == bodies) | (b2[None, :] == bodies))
+    involve = involve.astype(dtype) * efc.con_active[None, :]
+    n = jnp.sum(involve, axis=1)
+    Jn = efc.con_J[:, 0, :]  # (K, nv) normal rows
+    mom = -(involve @ Jn) / jnp.maximum(n, 1.0)[:, None]
+    return adh_u, mom
+
+
+def fwd(model: FlyModel, data: Data,
+        ncon_max: int = _sol.NCON_MAX,
+        solver_iterations: int = 15,
+        ls_iterations: int = 10,
+        noslip_iterations: int | None = None,
+        use_contacts: bool = True) -> Data:
+    """Forward dynamics: fills everything including qacc (mj_forward)."""
+    meta = model.meta
+    dtype = data.qpos.dtype
+
+    # Position stage.
+    data, jnt_xanchor, jnt_xaxis = _kin.kinematics(model, data)
+    data = _kin.com_pos(model, data, jnt_xanchor, jnt_xaxis)
+    data = _kin.tendon(model, data)
+    con = _col.collide(model, data)
+    if not use_contacts:
+        con = con.replace(dist=jnp.full_like(con.dist, 1e10))
+
+    # Velocity stage.
+    data = _sm.com_vel(model, data)
+    data = _sm.tendon_vel(model, data)
+
+    # Constraint rows (need qvel for aref).
+    efc = _sol.make_efc(model, data, con, ncon_max=ncon_max)
+
+    # Actuation with adhesion.
+    data = _sm.actuation(model, data)
+    tb = _col.pair_tables(meta)
+    b1 = jnp.asarray(tb['slot_body1'], jnp.int32)[efc.con_sel]
+    b2 = jnp.asarray(tb['slot_body2'], jnp.int32)[efc.con_sel]
+    adh_u, adh_mom = adhesion_moment(model, efc, (b1, b2))
+    if len(adh_u):
+        adh_force = data.actuator_force[adh_u]
+        qfrc_adh = adh_mom.T @ adh_force
+        data = data.replace(qfrc_actuator=data.qfrc_actuator + qfrc_adh)
+
+    # Remaining smooth forces.
+    data = _sm.crb(model, data)
+    data = _sm.rne(model, data)
+    data = _sm.passive(model, data)
+    data = _fluid.fluid(model, data)
+
+    qfrc_applied = (data.qfrc_applied if data.qfrc_applied is not None
+                    else jnp.zeros_like(data.qvel))
+    qfrc_smooth = (data.qfrc_passive + data.qfrc_fluid + data.qfrc_actuator
+                   + qfrc_applied + _sm.xfrc_accumulate(model, data)
+                   - data.qfrc_bias)
+    data = data.replace(qfrc_smooth=qfrc_smooth)
+
+    # Constraint solve.
+    data = _sm.factor_m(model, data)
+    a_free = _sm.solve_m(model, data, qfrc_smooth)
+    qacc, qfrc_con, f_l, f_c = _sol.solve(
+        model, data, efc, a_free, iterations=solver_iterations,
+        ls_iterations=ls_iterations)
+    niter = (meta.noslip_iterations if noslip_iterations is None
+             else noslip_iterations)
+    if niter > 0:
+        qacc, f_c = _sol.noslip(model, data, efc, qacc, f_c,
+                                iterations=niter)
+        qfrc_con = (jax.nn.one_hot(jnp.asarray(efc.lim_dof), meta.nv,
+                                   dtype=dtype).T
+                    @ (f_l * jnp.asarray(efc.lim_sign, dtype))
+                    + jnp.einsum('krv,kr->v', efc.con_J, f_c))
+
+    data = data.replace(qacc=qacc, qfrc_constraint=qfrc_con, contact=con)
+
+    # Sensors (acceleration stage needs qacc and contact forces).
+    from flybody_tpu.physics import sensors as _sens
+    if meta.nsensor:
+        data = data.replace(
+            sensordata=_sens.sensordata(model, data, efc, f_c))
+    return data
+
+
+def step(model: FlyModel, data: Data, **kwargs) -> Data:
+    """One physics step (mj_step): forward dynamics + Euler integration."""
+    data = fwd(model, data, **kwargs)
+    return _sm.euler(model, data)

@@ -1,0 +1,230 @@
+"""Vectorized Minkowski Portal Refinement for convex geom pairs.
+
+MuJoCo collides ellipsoid/cylinder pairs with libccd's MPR; this is an
+independent JAX implementation of the same algorithm (XenoCollide,
+Snethen 2008), batched over pairs with fixed iteration counts so it jits
+and vmaps. Returns penetration depth, normal and a midpoint contact
+position like MuJoCo's convex-pair wrapper.
+
+Support functions operate in world frame on (pos, mat, size) triples with
+a static geom-type code per batch (pairs are grouped by type statically).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from flybody_tpu.model import spec as _s
+
+_EPS = 1e-12
+_DISCOVERY_ITERS = 16
+_REFINE_ITERS = 40
+
+
+def support(gtype: int, pos, mat, size, d):
+    """World-frame support point of a geom in world direction d (unit)."""
+    if gtype == _s.GEOM_SPHERE:
+        return pos + size[..., 0:1] * d
+    dl = jnp.einsum('...ij,...i->...j', mat, d)  # R^T d
+    if gtype == _s.GEOM_CAPSULE:
+        r = size[..., 0:1]
+        h = size[..., 1:2]
+        axial = jnp.sign(dl[..., 2:3]) * h
+        local = jnp.concatenate(
+            [jnp.zeros_like(axial), jnp.zeros_like(axial), axial], axis=-1)
+        return pos + jnp.einsum('...ij,...j->...i', mat, local) + r * d
+    if gtype == _s.GEOM_CYLINDER:
+        r = size[..., 0:1]
+        h = size[..., 1:2]
+        radial = dl[..., :2]
+        rn = jnp.linalg.norm(radial, axis=-1, keepdims=True)
+        radial_dir = jnp.where(rn > 1e-10, radial / jnp.maximum(rn, _EPS),
+                               jnp.zeros_like(radial))
+        local = jnp.concatenate(
+            [r * radial_dir, jnp.sign(dl[..., 2:3]) * h], axis=-1)
+        return pos + jnp.einsum('...ij,...j->...i', mat, local)
+    if gtype == _s.GEOM_ELLIPSOID:
+        s2n = size * size * dl
+        denom = jnp.linalg.norm(size * dl, axis=-1, keepdims=True)
+        local = s2n / jnp.maximum(denom, _EPS)
+        return pos + jnp.einsum('...ij,...j->...i', mat, local)
+    raise NotImplementedError(f'support for geom type {gtype}')
+
+
+def _norm(v):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), _EPS)
+
+
+def _dot(a, b):
+    return jnp.einsum('...i,...i->...', a, b)
+
+
+def mpr_penetration(type1: int, type2: int, pos1, mat1, size1, pos2, mat2,
+                    size2, margin1=None, margin2=None):
+    """Batched MPR penetration query (canonical XenoCollide formulation).
+
+    Geoms are inflated by their contact margins (Minkowski sum with a ball,
+    matching MuJoCo's convex-pair margin handling), so contacts within the
+    combined margin report positive distances.
+
+    Returns (dist, normal, pos): dist is the (approximate) signed surface
+    distance, or +1 when separated beyond the margins; normal is a unit
+    vector from geom1 into geom2 (MuJoCo convention); pos is the contact
+    midpoint.
+    """
+    total_margin = 0.0
+    if margin1 is not None:
+        total_margin = total_margin + margin1
+    if margin2 is not None:
+        total_margin = total_margin + margin2
+
+    def S(d):
+        a = support(type1, pos1, mat1, size1, d)
+        b = support(type2, pos2, mat2, size2, -d)
+        if margin1 is not None:
+            a = a + margin1[..., None] * d
+        if margin2 is not None:
+            b = b - margin2[..., None] * d
+        return a - b, a, b
+
+    dtype = pos1.dtype
+    batch = pos1.shape[:-1]
+
+    # v0: interior point of D = G1 ⊖ G2.
+    v0 = pos1 - pos2
+    v0 = jnp.where(jnp.linalg.norm(v0, axis=-1, keepdims=True) < 1e-10,
+                   jnp.zeros_like(v0).at[..., 0].set(1e-7), v0)
+
+    # v1: support toward origin.
+    n = _norm(-v0)
+    v1, a1, b1 = S(n)
+    sep = _dot(v1, n) <= 0
+
+    # v2: perpendicular to (v1, v0).
+    n1 = jnp.cross(v1, v0)
+    degen = jnp.linalg.norm(n1, axis=-1) < 1e-14
+    alt = jnp.cross(v1 - v0, jnp.broadcast_to(
+        jnp.asarray([1.0, 0.013, 0.021], dtype), v1.shape))
+    alt2 = jnp.cross(v1 - v0, jnp.broadcast_to(
+        jnp.asarray([0.021, 1.0, 0.013], dtype), v1.shape))
+    alt = jnp.where(jnp.linalg.norm(alt, axis=-1, keepdims=True) < 1e-14,
+                    alt2, alt)
+    n1 = _norm(jnp.where(degen[..., None], alt, n1))
+    v2, a2, b2 = S(n1)
+    sep = sep | (_dot(v2, n1) <= 0)
+
+    # Initial portal candidate; enforce winding: n away from v0.
+    n2 = jnp.cross(v1 - v0, v2 - v0)
+    swap = _dot(n2, v0) > 0
+    v1n = jnp.where(swap[..., None], v2, v1)
+    a1n = jnp.where(swap[..., None], a2, a1)
+    b1n = jnp.where(swap[..., None], b2, b1)
+    v2n = jnp.where(swap[..., None], v1, v2)
+    a2n = jnp.where(swap[..., None], a1, a2)
+    b2n = jnp.where(swap[..., None], b1, b2)
+    v1, a1, b1, v2, a2, b2 = v1n, a1n, b1n, v2n, a2n, b2n
+    n2 = _norm(jnp.where(swap[..., None], -n2, n2))
+
+    v3, a3, b3 = S(n2)
+    sep = sep | (_dot(v3, n2) <= 0)
+
+    # --- Discovery: origin ray (from v0) must pass through (v1, v2, v3).
+    def discovery(_, carry):
+        v1, a1, b1, v2, a2, b2, v3, a3, b3, n, done, sep = carry
+        out1 = _dot(jnp.cross(v1, v3), v0) < 0  # origin outside (v1,v0,v3)
+        out2 = _dot(jnp.cross(v3, v2), v0) < 0  # origin outside (v3,v0,v2)
+        act = ~done & ~sep
+        rep2 = act & out1              # v2 <- v3
+        rep1 = act & ~out1 & out2      # v1 <- v3
+        newly_done = act & ~out1 & ~out2
+        done = done | newly_done
+
+        v2_ = jnp.where(rep2[..., None], v3, v2)
+        a2_ = jnp.where(rep2[..., None], a3, a2)
+        b2_ = jnp.where(rep2[..., None], b3, b2)
+        v1_ = jnp.where(rep1[..., None], v3, v1)
+        a1_ = jnp.where(rep1[..., None], a3, a1)
+        b1_ = jnp.where(rep1[..., None], b3, b1)
+        # New candidate normal maintaining winding.
+        n_new = jnp.where(rep2[..., None],
+                          jnp.cross(v1_ - v0, v3 - v0),
+                          jnp.cross(v3 - v0, v2_ - v0))
+        n_new = _norm(n_new)
+        v3_, a3_, b3_ = S(n_new)
+        cont = rep1 | rep2
+        sep = sep | (cont & (_dot(v3_, n_new) <= 0))
+        v3_ = jnp.where(cont[..., None], v3_, v3)
+        a3_ = jnp.where(cont[..., None], a3_, a3)
+        b3_ = jnp.where(cont[..., None], b3_, b3)
+        n = jnp.where(cont[..., None], n_new, n)
+        return (v1_, a1_, b1_, v2_, a2_, b2_, v3_, a3_, b3_, n, done, sep)
+
+    done0 = jnp.zeros(batch, dtype=bool)
+    carry = (v1, a1, b1, v2, a2, b2, v3, a3, b3, n2, done0, sep)
+    carry = jax.lax.fori_loop(0, _DISCOVERY_ITERS, discovery, carry)
+    v1, a1, b1, v2, a2, b2, v3, a3, b3, _, _, sep = carry
+
+    # --- Refinement.
+    def refine(_, carry):
+        v1, a1, b1, v2, a2, b2, v3, a3, b3, best_n, best_depth, conv = carry
+        n = _norm(jnp.cross(v2 - v1, v3 - v1))
+        v4, a4, b4 = S(n)
+        depth = _dot(v1, n)
+        gap = _dot(v4 - v3, n)
+        best_n = jnp.where(conv[..., None], best_n, n)
+        best_depth = jnp.where(conv, best_depth, depth)
+        conv = conv | (gap < 1e-10)
+
+        d1 = _dot(jnp.cross(v4, v1), v0)
+        d2 = _dot(jnp.cross(v4, v2), v0)
+        d3 = _dot(jnp.cross(v4, v3), v0)
+        rep_v1a = (d1 < 0) & (d2 < 0)
+        rep_v3 = (d1 < 0) & (d2 >= 0)
+        rep_v2 = (d1 >= 0) & (d3 < 0)
+        rep_v1b = (d1 >= 0) & (d3 >= 0)
+
+        def repl(cond, old, new):
+            return jnp.where((cond & ~conv)[..., None], new, old)
+
+        v1_ = repl(rep_v1a | rep_v1b, v1, v4)
+        a1_ = repl(rep_v1a | rep_v1b, a1, a4)
+        b1_ = repl(rep_v1a | rep_v1b, b1, b4)
+        v2_ = repl(rep_v2, v2, v4)
+        a2_ = repl(rep_v2, a2, a4)
+        b2_ = repl(rep_v2, b2, b4)
+        v3_ = repl(rep_v3, v3, v4)
+        a3_ = repl(rep_v3, a3, a4)
+        b3_ = repl(rep_v3, b3, b4)
+        return (v1_, a1_, b1_, v2_, a2_, b2_, v3_, a3_, b3_, best_n,
+                best_depth, conv)
+
+    conv0 = jnp.zeros(batch, dtype=bool)
+    bn0 = jnp.zeros(batch + (3,), dtype).at[..., 2].set(1.0)
+    bd0 = jnp.zeros(batch, dtype)
+    carry = (v1, a1, b1, v2, a2, b2, v3, a3, b3, bn0, bd0, conv0)
+    carry = jax.lax.fori_loop(0, _REFINE_ITERS, refine, carry)
+    v1, a1, b1, v2, a2, b2, v3, a3, b3, n, depth, _ = carry
+
+    # Witness midpoint: project origin onto the portal plane, barycentric.
+    p = depth[..., None] * n
+    area = jnp.cross(v2 - v1, v3 - v1)
+    w1 = _dot(jnp.cross(v2 - p, v3 - p), area)
+    w2 = _dot(jnp.cross(v3 - p, v1 - p), area)
+    w3 = _dot(jnp.cross(v1 - p, v2 - p), area)
+    wsum = w1 + w2 + w3
+    bad = jnp.abs(wsum) < 1e-20
+    safe = jnp.where(bad, 1.0, wsum)
+    w1 = jnp.where(bad, 1.0, w1 / safe)
+    w2 = jnp.where(bad, 0.0, w2 / safe)
+    w3 = jnp.where(bad, 0.0, w3 / safe)
+
+    pa = w1[..., None] * a1 + w2[..., None] * a2 + w3[..., None] * a3
+    pb = w1[..., None] * b1 + w2[..., None] * b2 + w3[..., None] * b3
+    pos = 0.5 * (pa + pb)
+
+    # MuJoCo normal convention (from geom1 into geom2) = +n empirically.
+    # Un-inflate: real distance = total_margin - inflated depth.
+    dist = jnp.where(sep, jnp.ones_like(depth), total_margin - depth)
+    pos = jnp.where(sep[..., None], jnp.zeros_like(pos), pos)
+    return dist, n, pos
