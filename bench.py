@@ -1,0 +1,89 @@
+"""Benchmark: walk_imitation env-steps/s on one chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
+"vs_baseline": N}. vs_baseline is measured against the rebuild target of
+100,000 walk-imitation env-steps/s/chip (BASELINE.json north star; the
+reference publishes no throughput numbers).
+
+Env overrides: BENCH_BATCH (default 1024), BENCH_STEPS (default 20),
+BENCH_TASK (walk_imitation | flight_imitation).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+TARGET = 100_000.0  # env-steps/s/chip @ batch 8192 (BASELINE.json)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    batch = int(os.environ.get('BENCH_BATCH', 1024))
+    steps = int(os.environ.get('BENCH_STEPS', 20))
+    task = os.environ.get('BENCH_TASK', 'walk_imitation')
+
+    from flybody_tpu.envs import fly_envs
+
+    if task == 'flight_imitation':
+        env = fly_envs.flight_imitation(functional=True,
+                                        solver_iterations=6,
+                                        ls_iterations=6)
+    else:
+        env = fly_envs.walk_imitation(functional=True, solver_iterations=8,
+                                      ls_iterations=6)
+
+    # Cast to float32 for the TPU compute path.
+    def to_f32(x):
+        if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.asarray(x, jnp.float32)
+        return x
+
+    env.model = jax.tree.map(to_f32, env.model)
+    env.store.qpos = to_f32(env.store.qpos)
+    env.store.qvel = to_f32(env.store.qvel)
+    if hasattr(env, 'wbpg'):
+        env.wbpg = jax.tree.map(to_f32, env.wbpg)
+    env.action_min = np.asarray(env.action_min, np.float32)
+    env.action_max = np.asarray(env.action_max, np.float32)
+
+    nact = env.tables.num_actions
+
+    @jax.jit
+    def rollout(rngs, actions):
+        states, _ = jax.vmap(env.reset)(rngs)
+
+        def body(states, a_t):
+            states, ts = jax.vmap(env.step)(states, a_t)
+            return states, ts.reward
+
+        states, rewards = jax.lax.scan(body, states, actions)
+        return rewards
+
+    rngs = jax.random.split(jax.random.PRNGKey(0), batch)
+    actions = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(1), (steps, batch, nact), jnp.float32)
+
+    # Compile.
+    r = jax.block_until_ready(rollout(rngs, actions))
+    # Timed runs.
+    t0 = time.perf_counter()
+    n_rep = 3
+    for _ in range(n_rep):
+        r = jax.block_until_ready(rollout(rngs, actions))
+    dt = (time.perf_counter() - t0) / n_rep
+    env_steps_per_s = batch * steps / dt
+
+    print(json.dumps({
+        'metric': f'{task} env-steps/s/chip (batch {batch})',
+        'value': round(env_steps_per_s, 1),
+        'unit': 'env-steps/s',
+        'vs_baseline': round(env_steps_per_s / TARGET, 4),
+    }))
+
+
+if __name__ == '__main__':
+    main()

