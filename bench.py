@@ -22,7 +22,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    batch = int(os.environ.get('BENCH_BATCH', 1024))
+    batch = int(os.environ.get('BENCH_BATCH', 8192))
     steps = int(os.environ.get('BENCH_STEPS', 20))
     task = os.environ.get('BENCH_TASK', 'walk_imitation')
 

@@ -47,22 +47,27 @@ def init(capacity: int, obs_dim: int, act_dim: int,
                        samples=jnp.zeros((), jnp.int32))
 
 
-def insert(state: ReplayState, batch: Transition,
-           mask=None) -> ReplayState:
+def insert(state: ReplayState, batch: Transition) -> ReplayState:
     """Insert a batch of transitions (FIFO ring semantics).
 
-    `mask`: optional (B,) validity mask; invalid rows are written to a
-    scratch slot... masked rows simply overwrite position of valid data at
-    the same indices, so instead invalid rows are redirected to their own
-    index (no-op-ish). For simplicity we require callers to pre-filter or
-    accept that padding rows enter the buffer (they carry zero discount and
-    reward and a valid obs, which is harmless for off-policy learning).
+    The write is a contiguous dynamic_update_slice (TPU-friendly: large
+    sorted scatters crash the TPU compiler), so the capacity must be a
+    multiple of the insert block size — blocks then never wrap.
     """
     capacity = state.data.obs.shape[0]
     n = batch.obs.shape[0]
-    idx = (state.insert_pos + jnp.arange(n, dtype=jnp.int32)) % capacity
-    data = Transition(*[
-        arr.at[idx].set(new) for arr, new in zip(state.data, batch)])
+    if capacity % n != 0:
+        raise ValueError(
+            f'replay capacity ({capacity}) must be a multiple of the '
+            f'insert block size ({n}); pad or adjust num_envs * '
+            f'(rollout_length - n_step + 1).')
+
+    def upd(arr, new):
+        start = ((state.insert_pos,)
+                 + (jnp.zeros((), jnp.int32),) * (arr.ndim - 1))
+        return jax.lax.dynamic_update_slice(arr, new, start)
+
+    data = Transition(*[upd(a, b) for a, b in zip(state.data, batch)])
     return ReplayState(
         data=data,
         insert_pos=(state.insert_pos + n) % capacity,

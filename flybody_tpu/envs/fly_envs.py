@@ -1,8 +1,8 @@
 """Environment factories: the reference fly_envs API, TPU-native.
 
 Mirrors reference flybody/fly_envs.py: `flight_imitation`, `walk_imitation`,
-`walk_on_ball`, `template_task` (vision_guided_flight lives in
-flybody_tpu.vision). Each factory compiles (and caches) a static task model
+`walk_on_ball`, `vision_guided_flight`, `template_task`. Each factory
+compiles (and caches) a static task model
 via build-time surgery, loads/synthesizes reference trajectories, and
 returns a dm_env-compatible wrapper; pass functional=True to get the raw
 jit/vmap-able env for batched TPU training.
@@ -18,6 +18,7 @@ from flybody_tpu.envs import trajectories as traj_lib
 from flybody_tpu.envs import wbpg as wbpg_lib
 from flybody_tpu.envs.dm_adapter import DmFlyEnv
 from flybody_tpu.envs.flight_imitation import FlightImitationEnv
+from flybody_tpu.envs.vision_flight import VisionFlightEnv
 from flybody_tpu.envs.walk_imitation import WalkImitationEnv
 from flybody_tpu.envs.walk_on_ball import TemplateEnv, WalkOnBallEnv
 from flybody_tpu.model import surgery
@@ -33,6 +34,10 @@ FLIGHT_OBS = ['walker/' + s for s in
                'joints_vel', 'velocimeter', 'world_zaxis',
                'ref_displacement', 'ref_root_quat')]
 BALL_OBS = WALK_OBS + ['walker/ball_qvel']
+VISION_OBS = ['walker/' + s for s in
+              ('accelerometer', 'actuator_activation', 'gyro', 'joints_pos',
+               'joints_vel', 'velocimeter', 'world_zaxis', 'right_eye',
+               'left_eye', 'task_input')]
 
 
 @functools.lru_cache(maxsize=16)
@@ -173,6 +178,27 @@ def walk_on_ball(force_actuators: bool = False,
     if functional:
         return env
     return DmFlyEnv(env, BALL_OBS, seed=seed)
+
+
+def vision_guided_flight(wpg_pattern_path: str | None = None,
+                         bumps_or_trench: str = 'bumps',
+                         force_actuators: bool = False,
+                         disable_legs: bool = True,
+                         joint_filter: float = 0.0,
+                         functional: bool = False,
+                         seed: int | None = None,
+                         **env_kwargs):
+    """Vision-guided flight over bumps/trench terrain
+    (reference fly_envs.py:194-246)."""
+    model = _flight_model(force_actuators, disable_legs, joint_filter,
+                          floor_contacts=True)
+    base_pattern = (np.load(wpg_pattern_path) if wpg_pattern_path else None)
+    tables = wbpg_lib.build_tables(base_pattern)
+    env = VisionFlightEnv(model, tables, bumps_or_trench=bumps_or_trench,
+                          time_limit=0.4, **env_kwargs)
+    if functional:
+        return env
+    return DmFlyEnv(env, VISION_OBS, seed=seed)
 
 
 def template_task(force_actuators: bool = False,

@@ -1,0 +1,129 @@
+"""End-to-end DMPO training job (counterpart of reference
+flybody/train_dmpo_ray.py, with the Ray/Reverb cluster collapsed into one
+TPU program).
+
+Usage:
+    python -m flybody_tpu.train.run --task walk_imitation --test
+    python -m flybody_tpu.train.run --task flight_imitation \
+        --num-envs 2048 --iterations 2000 --ckpt-dir /tmp/fly_ckpts
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from flybody_tpu.agents.dmpo import DMPOConfig
+from flybody_tpu.envs import fly_envs
+from flybody_tpu.train.loggers import TrainLogger
+from flybody_tpu.train.train_dmpo import DMPOTrainer, TrainConfig
+
+
+def make_env(task: str, **kwargs):
+    factory = {
+        'walk_imitation': fly_envs.walk_imitation,
+        'flight_imitation': fly_envs.flight_imitation,
+        'walk_on_ball': fly_envs.walk_on_ball,
+        'vision_bumps': lambda **kw: fly_envs.vision_guided_flight(
+            bumps_or_trench='bumps', **kw),
+        'vision_trench': lambda **kw: fly_envs.vision_guided_flight(
+            bumps_or_trench='trench', **kw),
+        'template': fly_envs.template_task,
+    }[task]
+    return factory(functional=True, **kwargs)
+
+
+def cast_env_f32(env):
+    import jax.numpy as jnp
+
+    def to_f32(x):
+        if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.asarray(x, jnp.float32)
+        return x
+
+    env.model = jax.tree.map(to_f32, env.model)
+    if hasattr(env, 'store') and env.store is not None:
+        env.store.qpos = to_f32(env.store.qpos)
+        env.store.qvel = to_f32(env.store.qvel)
+        if env.store.root2site is not None:
+            env.store.root2site = to_f32(env.store.root2site)
+        if env.store.joint_quat is not None:
+            env.store.joint_quat = to_f32(env.store.joint_quat)
+    if hasattr(env, 'wbpg'):
+        env.wbpg = jax.tree.map(to_f32, env.wbpg)
+    env.action_min = np.asarray(env.action_min, np.float32)
+    env.action_max = np.asarray(env.action_max, np.float32)
+    return env
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--task', default='walk_imitation')
+    p.add_argument('--ref-path', default=None,
+                   help='HDF5 reference trajectory dataset.')
+    p.add_argument('--num-envs', type=int, default=1024)
+    p.add_argument('--rollout-length', type=int, default=16)
+    p.add_argument('--iterations', type=int, default=1000)
+    p.add_argument('--replay-capacity', type=int, default=1_000_000)
+    p.add_argument('--batch-size', type=int, default=256)
+    p.add_argument('--ckpt-dir', default=None)
+    p.add_argument('--log-jsonl', default=None)
+    p.add_argument('--test', action='store_true',
+                   help='Tiny smoke configuration (reference --test mode).')
+    p.add_argument('--seed', type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.test:
+        args.num_envs = 8
+        args.rollout_length = 8
+        args.iterations = 3
+        args.replay_capacity = 4096
+        args.batch_size = 32
+
+    env_kwargs = {}
+    if args.ref_path and args.task in ('walk_imitation',
+                                       'flight_imitation'):
+        env_kwargs['ref_path'] = args.ref_path
+    env = cast_env_f32(make_env(args.task, **env_kwargs))
+
+    cfg = TrainConfig(
+        num_envs=args.num_envs,
+        rollout_length=args.rollout_length,
+        replay_capacity=args.replay_capacity,
+        min_replay_fraction=0.002 if not args.test else 0.0,
+        dmpo=DMPOConfig(batch_size=args.batch_size,
+                        num_samples=20 if not args.test else 4),
+    )
+    trainer = DMPOTrainer(env, cfg)
+    logger = TrainLogger('learner', jsonl_path=args.log_jsonl)
+    ckpt = None
+    if args.ckpt_dir:
+        from flybody_tpu.agents.checkpointing import Checkpointer
+        ckpt = Checkpointer(args.ckpt_dir)
+
+    state = trainer.init(jax.random.PRNGKey(args.seed))
+    if ckpt is not None and ckpt.latest_step is not None:
+        state = ckpt.restore(state)
+        print(f'Restored checkpoint at step {ckpt.latest_step}')
+
+    step_fn = jax.jit(trainer.train_iteration)
+    t0 = time.time()
+    for it in range(args.iterations):
+        state, stats = step_fn(state)
+        if it == 0:
+            print(f'first iteration (incl. compile): '
+                  f'{time.time() - t0:.1f} s', flush=True)
+        logger.write(stats, force=(it in (0, args.iterations - 1)))
+        if ckpt is not None:
+            ckpt.save(int(state.learner.steps), state)
+    stats = {k: float(np.asarray(v)) for k, v in stats.items()
+             if np.asarray(v).size == 1}
+    print('final stats:', stats)
+    return state
+
+
+if __name__ == '__main__':
+    main()

@@ -73,6 +73,9 @@ class DMPOTrainer:
         cfg = config.dmpo
         inserts = config.num_envs * (
             config.rollout_length - cfg.n_step + 1)
+        # Replay writes are contiguous blocks; round the capacity up to a
+        # multiple of the per-iteration insert size.
+        self.replay_capacity = -(-config.replay_capacity // inserts) * inserts
         if config.learner_steps_per_iter is None:
             self.learner_steps = max(1, int(round(
                 inserts * cfg.samples_per_insert / cfg.batch_size)))
@@ -85,7 +88,7 @@ class DMPOTrainer:
         cfg = self.config
         r1, r2, r3 = jax.random.split(rng, 3)
         learner = self.learner.init(r1)
-        replay = replay_lib.init(cfg.replay_capacity, self.obs_dim,
+        replay = replay_lib.init(self.replay_capacity, self.obs_dim,
                                  self.action_dim, self.dtype)
         env_rngs = jax.random.split(r2, cfg.num_envs)
         env_states, ts = jax.vmap(self.env.reset)(env_rngs)

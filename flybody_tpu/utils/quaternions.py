@@ -193,9 +193,12 @@ def integrate_quat(q: jax.Array, angvel_local: jax.Array,
     Matches MuJoCo mj_integratePos semantics for free/ball joints:
     q' = q * exp(omega_local * dt / 2), renormalized.
     """
-    angle = jnp.linalg.norm(angvel_local, axis=-1, keepdims=True) * dt
-    axis = angvel_local / jnp.maximum(
-        jnp.linalg.norm(angvel_local, axis=-1, keepdims=True), _EPS)
+    # Smoothed norm: keeps gradients finite at angvel == 0 (needed by
+    # autodiff users like the IK solver) with O(1e-12) value error.
+    norm = jnp.sqrt(jnp.sum(angvel_local * angvel_local, axis=-1,
+                            keepdims=True) + _EPS * _EPS)
+    angle = norm * dt
+    axis = angvel_local / norm
     dq = jnp.concatenate(
         [jnp.cos(0.5 * angle), axis * jnp.sin(0.5 * angle)], axis=-1)
     return norm_quat(mult_quat(q, dq))

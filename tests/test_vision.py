@@ -1,0 +1,59 @@
+"""Vision stack tests: terrain generation and eye-camera rendering."""
+
+import jax
+import numpy as np
+import pytest
+
+from flybody_tpu.vision import hfield as hf
+
+
+def test_sine_trench_terrain():
+    terrain, spec = hf.sine_trench_terrain(jax.random.PRNGKey(0))
+    terrain = np.asarray(terrain)
+    assert terrain.shape == (hf.RES, hf.RES)
+    assert terrain.min() >= 0.0
+    assert 1.0 < terrain.max() < 6.0  # bowl elevation 4-5
+    # The trench floor near the entrance is carved to ~0.
+    valid = np.asarray(spec.valid) > 0
+    assert valid.sum() > 20
+    xs = np.asarray(spec.x_coords)[valid]
+    ys = np.asarray(spec.y_coords)[valid]
+    h_center = np.array([
+        np.asarray(hf.height_at(terrain, x, y)) for x, y in
+        zip(xs[::10], ys[::10])])
+    assert (h_center < 0.4).mean() > 0.7  # carved along the centerline
+    # Walls adjacent to the centerline are high.
+    h_wall = np.asarray(hf.height_at(terrain, xs[len(xs) // 2],
+                                     ys[len(ys) // 2] + 2.0))
+    assert h_wall > 0.5
+
+
+def test_sine_bumps_terrain():
+    terrain, _ = hf.sine_bumps_terrain(jax.random.PRNGKey(1))
+    terrain = np.asarray(terrain)
+    assert np.isfinite(terrain).all()
+    # Sine bumps impose x-periodic structure: column means vary.
+    col_means = terrain.mean(axis=0)
+    assert col_means.std() > 0.05
+
+
+def test_height_lookup():
+    terrain, _ = hf.sine_bumps_terrain(jax.random.PRNGKey(2))
+    h = hf.height_at(terrain, 0.0, 0.0)
+    hn = hf.nearest_height_at(terrain, 0.0, 0.0)
+    assert abs(float(h) - float(hn)) < 0.2
+
+
+@pytest.mark.parametrize('kind', ['bumps', 'trench'])
+def test_vision_env_eyes(kind):
+    from flybody_tpu.envs import fly_envs
+    env = fly_envs.vision_guided_flight(bumps_or_trench=kind, seed=0)
+    ts = env.reset()
+    for eye in ('walker/right_eye', 'walker/left_eye'):
+        img = ts.observation[eye]
+        assert img.shape == (32, 32)
+        assert img.min() >= 0.0 and img.max() <= 255.0
+        assert img.std() > 5.0  # scene structure visible
+    assert ts.observation['walker/task_input'].shape == (2,)
+    ts = env.step(np.zeros(12))
+    assert np.isfinite(ts.reward)
