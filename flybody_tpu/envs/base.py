@@ -76,7 +76,8 @@ class FruitFlyEnv:
                  time_limit: float = 1.0,
                  solver_iterations: int = 10,
                  ls_iterations: int = 8,
-                 ncon_max: int = 64):
+                 ncon_max: int = 64,
+                 extra_observables=()):
         # Ensure all model leaves are jnp arrays (not numpy) so functional
         # code can use .at[] updates uniformly.
         model = jax.tree.map(jnp.asarray, model)
@@ -92,6 +93,7 @@ class FruitFlyEnv:
         self.engine_kwargs = dict(solver_iterations=solver_iterations,
                                   ls_iterations=ls_iterations,
                                   ncon_max=ncon_max)
+        self.extra_observables = tuple(extra_observables)
 
     # ---------------------------------------------------------------- hooks
 
@@ -180,6 +182,31 @@ class FruitFlyEnv:
             'walker/force': sensors_mean[tb.force_adr],
             'walker/touch': sensors_mean[tb.touch_adr],
         }
+
+    def _extra_observables(self, state: EnvState, fkd: Data, sensors_mean,
+                           names):
+        """Optional observables from the reference FruitFlyObservables
+        catalog (fruitfly.py:594-726), enabled via `extra_observables`."""
+        tb = self.tables
+        obs = {}
+        for name in names:
+            key = f'walker/{name}'
+            if name == 'thorax_height':
+                obs[key] = fkd.xpos[tb.thorax_body, 2]
+            elif name == 'abdomen_height':
+                obs[key] = fkd.xpos[tb.abdomen_body, 2]
+            elif name == 'world_zaxis_abdomen':
+                obs[key] = fkd.xmat[tb.abdomen_body][2, :]
+            elif name == 'world_zaxis_head':
+                obs[key] = fkd.xmat[tb.head_body][2, :]
+            elif name == 'world_zaxis_hover':
+                sid = self.model.meta.site_names.index('hover_up_dir')
+                obs[key] = fkd.site_xmat[sid][2, :]
+            elif name == 'prev_action':
+                obs[key] = state.prev_action
+            else:
+                raise KeyError(f'unknown extra observable {name}')
+        return obs
 
     def _root_pose(self, fkd: Data):
         """Root (free joint) position and quaternion."""

@@ -138,6 +138,8 @@ class FlightImitationEnv(envbase.FruitFlyEnv):
         window = self._ref_qpos(state.task, state.step_idx,
                                 self.future_steps + 1)
         obs.update(self._obs_ref(state, fkd, window))
+        obs.update(self._extra_observables(state, fkd, sensors_mean,
+                                           self.extra_observables))
         return obs
 
     def _ref_com(self, task, step):

@@ -114,6 +114,8 @@ class WalkImitationEnv(envbase.FruitFlyEnv):
         window = self._ref(state.task, state.step_idx,
                            self.future_steps + 1)[:, :7]
         obs.update(self._obs_ref(state, fkd, window))
+        obs.update(self._extra_observables(state, fkd, sensors_mean,
+                                           self.extra_observables))
         return obs
 
     def _reward_factors(self, state, fkd):

@@ -38,6 +38,8 @@ class TemplateEnv(envbase.FruitFlyEnv):
         obs.update(self._obs_proprioception(state, fkd))
         obs.update(self._obs_appendages(fkd))
         obs.update(self._obs_force_touch(sensors_mean))
+        obs.update(self._extra_observables(state, fkd, sensors_mean,
+                                           self.extra_observables))
         return obs
 
 
@@ -74,6 +76,8 @@ class WalkOnBallEnv(envbase.FruitFlyEnv):
         obs.update(self._obs_appendages(fkd))
         obs.update(self._obs_force_touch(sensors_mean))
         obs['walker/ball_qvel'] = self._ball_qvel(state)
+        obs.update(self._extra_observables(state, fkd, sensors_mean,
+                                           self.extra_observables))
         return obs
 
     def _reward_factors(self, state, fkd):

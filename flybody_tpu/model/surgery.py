@@ -357,9 +357,12 @@ class FlyXml:
                 default.find('geom').set('friction', str(friction))
 
     def remove_freejoint(self):
-        j = self.named('joint', 'free')
-        if j is not None:
-            j.getparent().remove(j)
+        for tag in ('freejoint', 'joint'):
+            j = self.named(tag, 'free')
+            if j is not None:
+                j.getparent().remove(j)
+                return
+        raise ValueError('no freejoint found to remove')
 
     def set_spawn_pos(self, pos):
         self.named('body', 'thorax').set('pos', _fmt(np.array(pos)))

@@ -341,12 +341,17 @@ def _h_capsule_capsule(model, data, g1, g2):
 
 
 def _mpr_handler(t1, t2):
+    # Strictly convex (sphere-swept/ellipsoidal) pairs get a smooth-surface
+    # polish after MPR; cylinder edges are non-smooth, so they do not.
+    smooth_pair = _s.GEOM_CYLINDER not in (t1, t2)
+
     def h(model, data, g1, g2):
         dist, n, pos = _mpr.mpr_penetration(
             t1, t2, data.geom_xpos[g1], data.geom_xmat[g1],
             model.geom_size[g1], data.geom_xpos[g2], data.geom_xmat[g2],
             model.geom_size[g2], margin1=model.geom_margin[g1],
-            margin2=model.geom_margin[g2])
+            margin2=model.geom_margin[g2],
+            polish_iters=12 if smooth_pair else 0)
         return dist[:, None], pos[:, None], n[:, None]
     return h
 

@@ -129,8 +129,15 @@ def _inertia_box_forces(model: FlyModel, data: Data,
                            bodymask)
 
 
-def _ellipsoid_forces(model: FlyModel, data: Data, tb) -> jax.Array:
-    """Ellipsoid fluid model, vectorized over fluid-interaction geoms."""
+def _ellipsoid_forces(model: FlyModel, data: Data, tb,
+                      return_components: bool = False):
+    """Ellipsoid fluid model, vectorized over fluid-interaction geoms.
+
+    With return_components=True, also returns the named per-geom force and
+    torque components in world frame (fA/fD/fM/fK/fV, gA/gD/gV — the same
+    decomposition as the reference analysis tool,
+    flybody/ellipsoid_fluid_model.py:16-86).
+    """
     dtype = data.qpos.dtype
     meta = model.meta
     density = model.density.astype(dtype)
@@ -215,6 +222,20 @@ def _ellipsoid_forces(model: FlyModel, data: Data, tb) -> jax.Array:
     ltrq = ltrq * interaction[:, None]
     lfrc = lfrc * interaction[:, None]
 
+    if return_components:
+        speed_ = speed[:, None]
+        fD = -(density * speed_ * (A_proj * blunt_drag
+                                   + slender_drag * (A_max - A_proj)
+                                   )[:, None]) * lv
+        fV = -(viscosity * lin_visc_force_coef)[:, None] * lv
+        gD = -(density * jnp.linalg.norm(mom_visc, axis=-1))[:, None] * lw
+        gV = -(viscosity * lin_visc_torq_coef)[:, None] * lw
+        comps = {'fA': fA, 'fD': fD, 'fM': fM, 'fK': fK, 'fV': fV,
+                 'gA': gA, 'gD': gD, 'gV': gV}
+        R = data.geom_xmat
+        comps = {k: (R @ (v * interaction[:, None])[..., None])[..., 0]
+                 for k, v in comps.items()}
+
     # Rotate to world, sum per body at geom positions.
     world_t = (data.geom_xmat @ ltrq[..., None])[..., 0]
     world_f = (data.geom_xmat @ lfrc[..., None])[..., 0]
@@ -229,7 +250,21 @@ def _ellipsoid_forces(model: FlyModel, data: Data, tb) -> jax.Array:
     f_body = jnp.zeros((meta.nbody, 6), dtype).at[tb['geom_bodyid']].add(
         f_spatial)
     mask = model.body_dof_mask.astype(dtype)
-    return jnp.einsum('vi,vi->v', data.cdof, mask.T @ f_body)
+    qfrc = jnp.einsum('vi,vi->v', data.cdof, mask.T @ f_body)
+    if return_components:
+        return qfrc, comps
+    return qfrc
+
+
+def ellipsoid_force_components(model: FlyModel, data: Data):
+    """Per-geom ellipsoid fluid force decomposition in world frame
+    (analysis counterpart of reference flybody/ellipsoid_fluid_model.py).
+
+    Returns (qfrc_fluid_ellipsoid, components) where components maps
+    {'fA','fD','fM','fK','fV','gA','gD','gV'} -> (ngeom, 3) arrays (zero
+    rows for geoms without fluidshape='ellipsoid')."""
+    tb = _fluid_tables(model.meta)
+    return _ellipsoid_forces(model, data, tb, return_components=True)
 
 
 def fluid(model: FlyModel, data: Data) -> Data:

@@ -61,7 +61,8 @@ def _dot(a, b):
 
 
 def mpr_penetration(type1: int, type2: int, pos1, mat1, size1, pos2, mat2,
-                    size2, margin1=None, margin2=None):
+                    size2, margin1=None, margin2=None,
+                    polish_iters: int = 0):
     """Batched MPR penetration query (canonical XenoCollide formulation).
 
     Geoms are inflated by their contact margins (Minkowski sum with a ball,
@@ -222,6 +223,28 @@ def mpr_penetration(type1: int, type2: int, pos1, mat1, size1, pos2, mat2,
     pa = w1[..., None] * a1 + w2[..., None] * a2 + w3[..., None] * a3
     pb = w1[..., None] * b1 + w2[..., None] * b2 + w3[..., None] * b3
     pos = 0.5 * (pa + pb)
+
+    if polish_iters:
+        # Smooth-pair polish: the penetration depth is min over unit
+        # directions u of h(u) = support_D(u)·u, with envelope-theorem
+        # gradient x_D(u). Projected gradient descent from the MPR portal
+        # normal converges to the exact minimal-translation direction for
+        # strictly convex (sphere-swept / ellipsoidal) pairs.
+        scale = jnp.maximum(jnp.max(size1, axis=-1),
+                            jnp.max(size2, axis=-1))[..., None]
+
+        def polish(_, u):
+            xd, _, _ = S(u)
+            grad_t = xd - _dot(xd, u)[..., None] * u
+            return _norm(u - 0.3 * grad_t / scale)
+
+        n_p = jax.lax.fori_loop(0, polish_iters, polish, n)
+        v_p, a_p, b_p = S(n_p)
+        depth_p = _dot(v_p, n_p)
+        better = depth_p < depth
+        n = jnp.where(better[..., None], n_p, n)
+        depth = jnp.where(better, depth_p, depth)
+        pos = jnp.where(better[..., None], 0.5 * (a_p + b_p), pos)
 
     # MuJoCo normal convention (from geom1 into geom2) = +n empirically.
     # Un-inflate: real distance = total_margin - inflated depth.
