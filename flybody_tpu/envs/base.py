@@ -122,6 +122,11 @@ class FruitFlyEnv:
     def _observations(self, state: EnvState, fkd: Data, sensors_mean):
         return {}
 
+    def _terrain(self, state: EnvState):
+        """Per-env heightfield grid for physics contacts, or None. Tasks
+        with procedural terrain (vision flight) override this."""
+        return None
+
     # ------------------------------------------------------------- plumbing
 
     def action_to_ctrl(self, action):
@@ -129,15 +134,22 @@ class FruitFlyEnv:
         S = jnp.asarray(self.tables.scatter, dtype)
         return S @ action
 
-    def _substeps(self, data: Data, ctrl) -> tuple[Data, jax.Array]:
-        """Run n_sub physics substeps; returns (data, mean sensordata)."""
+    def _substeps(self, data: Data, ctrl,
+                  terrain=None) -> tuple[Data, jax.Array]:
+        """Run n_sub physics substeps; returns (data, mean sensordata).
+
+        The self-contact force sum rides as one extra trailing channel of
+        the sensor vector so it gets the same substep-mean aggregation as
+        the buffered sensors (reference fruitfly.py:705-707)."""
         model = self.model
         kw = self.engine_kwargs
 
         def body(carry, _):
             d = carry
-            out = engine.step(model, d, **kw)
-            return out.strip(), out.sensordata
+            out = engine.step(model, d, terrain=terrain, **kw)
+            sens = jnp.concatenate(
+                [out.sensordata, out.self_contact_force[None]])
+            return out.strip(), sens
 
         data = data.replace(ctrl=ctrl)
         data, sens = jax.lax.scan(body, data, length=self.n_sub)
@@ -204,6 +216,10 @@ class FruitFlyEnv:
                 obs[key] = fkd.site_xmat[sid][2, :]
             elif name == 'prev_action':
                 obs[key] = state.prev_action
+            elif name == 'self_contact':
+                # Substep-mean of the fly self-contact force sum
+                # (reference fruitfly.py:687-707).
+                obs[key] = sensors_mean[-1]
             else:
                 raise KeyError(f'unknown extra observable {name}')
         return obs
@@ -238,7 +254,7 @@ class FruitFlyEnv:
                             qacc=jnp.zeros((self.model.meta.nv,), dtype))
         state = state0.replace(data=data)
         fkd = self._fk(data)
-        zeros_sens = jnp.zeros((self.model.meta.nsensordata,), dtype)
+        zeros_sens = jnp.zeros((self.model.meta.nsensordata + 1,), dtype)
         obs = self._observations(state, fkd, zeros_sens)
         ts = TimeStep(step_type=jnp.asarray(FIRST, jnp.int32),
                       reward=jnp.zeros((), dtype),
@@ -253,7 +269,8 @@ class FruitFlyEnv:
         state = state.replace(task=task,
                               prev_action=action)
         ctrl = self.action_to_ctrl(mj_action)
-        data, sensors_mean = self._substeps(state.data, ctrl)
+        data, sensors_mean = self._substeps(state.data, ctrl,
+                                            self._terrain(state))
         state = state.replace(data=data,
                               step_idx=state.step_idx + 1)
         fkd = self._fk(data)

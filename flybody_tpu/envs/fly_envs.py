@@ -122,7 +122,11 @@ def flight_imitation(ref_path: str | None = None,
         base_pattern = None
     tables = wbpg_lib.build_tables(base_pattern)
     if ref_path is not None:
-        store = traj_lib.load_flight_hdf5(ref_path, traj_indices)
+        if ref_path.endswith('.ftrj'):
+            from flybody_tpu.data import native_store
+            store, _ = native_store.load_packed(ref_path, traj_indices)
+        else:
+            store = traj_lib.load_flight_hdf5(ref_path, traj_indices)
     else:
         store = traj_lib.inference_flight_store()
     env = FlightImitationEnv(model, store, tables,
@@ -148,8 +152,15 @@ def walk_imitation(ref_path: str | None = None,
     """Walking imitation task (reference fly_envs.py:100-155)."""
     model = _walking_model(force_actuators, disable_wings, joint_filter)
     if ref_path is not None:
-        store, site_names, joint_names = traj_lib.load_walking_hdf5(
-            ref_path, traj_indices)
+        if ref_path.endswith('.ftrj'):
+            from flybody_tpu.data import native_store
+            store, ds_meta = native_store.load_packed(ref_path,
+                                                      traj_indices)
+            site_names = ds_meta['sites']
+            joint_names = ds_meta['joints']
+        else:
+            store, site_names, joint_names = traj_lib.load_walking_hdf5(
+                ref_path, traj_indices)
         inference = False
     else:
         store = traj_lib.inference_walking_store()

@@ -8,11 +8,13 @@ rewarded for holding height/speed/heading/trench-center; floor contact is
 fatal.
 
 Terrain is a per-env device array regenerated at reset (the reference
-rewrites the MuJoCo hfield asset per episode, hills.py:347-393). Physics
-contacts use the flat ground plane; terrain crashes are detected by a
-height test of the fly's collision geoms against the terrain surface (the
-reference's contact-based termination fires within one control step of
-touching — behaviorally equivalent for a fatal event).
+rewrites the MuJoCo hfield asset per episode, hills.py:347-393). The
+terrain is a real collision surface: physics/terrain.py narrowphase adds
+hfield contact rows to the solver (tangent-plane formulation). Crash
+termination additionally uses a direct height test of the fly's collision
+geoms against the surface (the reference terminates on walker-floor
+contact pairs, vision_flight.py:235-262 — both fire within one control
+step of touching).
 """
 
 from __future__ import annotations
@@ -52,6 +54,7 @@ class VisionFlightEnv(envbase.FruitFlyEnv):
                  eye_camera_size: int = 32,
                  eye_camera_fovy: float = 150.0,
                  floor_contacts_fatal: bool = True,
+                 terrain_physics: bool = True,
                  time_limit: float = 0.4,
                  **kwargs):
         super().__init__(model, num_user_actions=1,
@@ -66,6 +69,7 @@ class VisionFlightEnv(envbase.FruitFlyEnv):
         self.eye_size = eye_camera_size
         self.eye_fovy = eye_camera_fovy
         self.floor_contacts_fatal = floor_contacts_fatal
+        self.terrain_physics = terrain_physics
         tb = self.tables
         self._wing_action_idx = np.array(tb.action_indices['wings'])
         self._user_action_idx = tb.action_indices['user'][0]
@@ -123,6 +127,9 @@ class VisionFlightEnv(envbase.FruitFlyEnv):
                 model.qpos_spring[self.tables.leg_qpos_idx])
         act = jnp.zeros((model.meta.na,), dtype)
         return qpos, qvel, act
+
+    def _terrain(self, state):
+        return state.task.terrain if self.terrain_physics else None
 
     def _before_step(self, state, action):
         task = state.task

@@ -58,8 +58,13 @@ _MPR_PAIRS = {
 
 
 @functools.lru_cache(maxsize=8)
-def pair_tables(meta: _s.Meta):
-    """Static candidate-pair tables grouped by canonical type pair."""
+def pair_tables(meta: _s.Meta, terrain: bool = False):
+    """Static candidate-pair tables grouped by canonical type pair.
+
+    With terrain=True, heightfield candidate slots (terrain.py) are appended
+    after the geom-pair slots, in terrain_tables order: slot_geom1 = -1
+    (pseudo-geom), slot_body1 = 0 (world), matching how collide() appends
+    the terrain contact rows."""
     ngeom = meta.ngeom
     parent = np.array(meta.body_parentid)
     weld = np.array(meta.body_weldid)
@@ -109,13 +114,30 @@ def pair_tables(meta: _s.Meta):
             slot_geom2 += [p2] * k
             slot_condim += [int(cd)] * k
 
+    slot_geom1 = np.array(slot_geom1, dtype=np.int64)
+    slot_geom2 = np.array(slot_geom2, dtype=np.int64)
+    slot_body1 = gbody[slot_geom1]
+    slot_body2 = gbody[slot_geom2]
+    slot_condim = np.array(slot_condim, dtype=np.int64)
+
+    if terrain:
+        from flybody_tpu.physics import terrain as _terr
+        ttb = _terr.terrain_tables(meta)
+        slot_geom1 = np.concatenate(
+            [slot_geom1, np.full(ttb['nslot'], -1, dtype=np.int64)])
+        slot_geom2 = np.concatenate([slot_geom2, ttb['slot_geom']])
+        slot_body1 = np.concatenate(
+            [slot_body1, np.zeros(ttb['nslot'], dtype=np.int64)])
+        slot_body2 = np.concatenate([slot_body2, ttb['slot_body']])
+        slot_condim = np.concatenate([slot_condim, ttb['slot_condim']])
+
     return dict(
         groups=out,
-        slot_geom1=np.array(slot_geom1, dtype=np.int64),
-        slot_geom2=np.array(slot_geom2, dtype=np.int64),
-        slot_condim=np.array(slot_condim, dtype=np.int64),
-        slot_body1=gbody[np.array(slot_geom1, dtype=np.int64)],
-        slot_body2=gbody[np.array(slot_geom2, dtype=np.int64)],
+        slot_geom1=slot_geom1,
+        slot_geom2=slot_geom2,
+        slot_condim=slot_condim,
+        slot_body1=slot_body1,
+        slot_body2=slot_body2,
         nslot=len(slot_geom1),
     )
 
@@ -370,8 +392,12 @@ def _handler(key):
     }[key]
 
 
-def collide(model: FlyModel, data: Data) -> Contact:
-    """Evaluate all candidate pairs; returns static-size contact slots."""
+def collide(model: FlyModel, data: Data,
+            terrain: jax.Array | None = None) -> Contact:
+    """Evaluate all candidate pairs; returns static-size contact slots.
+
+    `terrain` (optional, traced): per-env heightfield grid; appends the
+    terrain candidate rows from terrain.py after the geom-pair slots."""
     meta = model.meta
     tb = pair_tables(meta)
     dtype = data.qpos.dtype
@@ -390,6 +416,20 @@ def collide(model: FlyModel, data: Data) -> Contact:
         solimps.append(rep(si))
         margins.append(rep(mg))
         incmargins.append(rep(im))
+
+    if terrain is not None:
+        from flybody_tpu.physics import terrain as _terr
+        td, tp, tn, tfr, tsr, tsi, tmg, tim = _terr.terrain_contacts(
+            model, data, terrain)
+        dists.append(td)
+        poss.append(tp)
+        normals.append(tn)
+        # Terrain params are per-slot already (capsules repeat per end cap).
+        frictions.append(tfr)
+        solrefs.append(tsr)
+        solimps.append(tsi)
+        margins.append(tmg)
+        incmargins.append(tim)
 
     return Contact(
         dist=jnp.concatenate(dists).astype(dtype),

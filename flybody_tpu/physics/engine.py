@@ -30,6 +30,17 @@ from flybody_tpu.physics.state import Data, make_data
 
 
 @functools.lru_cache(maxsize=8)
+def _self_pair_mask(meta, terrain: bool = False):
+    """slot mask: both geoms rooted at the fly's kinematic root (thorax
+    subtree), i.e. fly-self contacts (reference fruitfly.py:694-700)."""
+    tb = _col.pair_tables(meta, terrain)
+    root = np.array(meta.body_rootid)
+    fly_root = root[meta.body_names.index('thorax')]
+    return ((root[tb['slot_body1']] == fly_root)
+            & (root[tb['slot_body2']] == fly_root))
+
+
+@functools.lru_cache(maxsize=8)
 def _adhesion_tables(meta):
     """Static adhesion actuator -> body map."""
     adh_u, adh_body, adh_gain_idx = [], [], []
@@ -69,16 +80,21 @@ def fwd(model: FlyModel, data: Data,
         solver_iterations: int = 15,
         ls_iterations: int = 10,
         noslip_iterations: int | None = None,
-        use_contacts: bool = True) -> Data:
-    """Forward dynamics: fills everything including qacc (mj_forward)."""
+        use_contacts: bool = True,
+        terrain=None) -> Data:
+    """Forward dynamics: fills everything including qacc (mj_forward).
+
+    `terrain` (optional, traced): per-env heightfield grid; adds hfield
+    contacts (physics/terrain.py) to the candidate set."""
     meta = model.meta
     dtype = data.qpos.dtype
+    terrain_on = terrain is not None
 
     # Position stage.
     data, jnt_xanchor, jnt_xaxis = _kin.kinematics(model, data)
     data = _kin.com_pos(model, data, jnt_xanchor, jnt_xaxis)
     data = _kin.tendon(model, data)
-    con = _col.collide(model, data)
+    con = _col.collide(model, data, terrain=terrain)
     if not use_contacts:
         con = con.replace(dist=jnp.full_like(con.dist, 1e10))
 
@@ -87,11 +103,12 @@ def fwd(model: FlyModel, data: Data,
     data = _sm.tendon_vel(model, data)
 
     # Constraint rows (need qvel for aref).
-    efc = _sol.make_efc(model, data, con, ncon_max=ncon_max)
+    efc = _sol.make_efc(model, data, con, ncon_max=ncon_max,
+                        terrain=terrain_on)
 
     # Actuation with adhesion.
     data = _sm.actuation(model, data)
-    tb = _col.pair_tables(meta)
+    tb = _col.pair_tables(meta, terrain_on)
     b1 = jnp.asarray(tb['slot_body1'], jnp.int32)[efc.con_sel]
     b2 = jnp.asarray(tb['slot_body2'], jnp.int32)[efc.con_sel]
     adh_u, adh_mom = adhesion_moment(model, efc, (b1, b2))
@@ -129,13 +146,22 @@ def fwd(model: FlyModel, data: Data,
                     @ (f_l * jnp.asarray(efc.lim_sign, dtype))
                     + jnp.einsum('krv,kr->v', efc.con_J, f_c))
 
-    data = data.replace(qacc=qacc, qfrc_constraint=qfrc_con, contact=con)
+    # Self-contact force magnitude sum (observable; fruitfly.py:687-704).
+    selfmask = jnp.asarray(_self_pair_mask(meta, terrain_on), dtype)
+    m_self = selfmask[efc.con_sel] * efc.con_active
+    self_force = jnp.sum(m_self * jnp.linalg.norm(f_c, axis=-1))
+
+    data = data.replace(qacc=qacc, qfrc_constraint=qfrc_con, contact=con,
+                        self_contact_force=self_force)
 
     # Sensors (acceleration stage needs qacc and contact forces).
     from flybody_tpu.physics import sensors as _sens
     if meta.nsensor:
         data = data.replace(
-            sensordata=_sens.sensordata(model, data, efc, f_c))
+            sensordata=_sens.sensordata(model, data, efc, f_c,
+                                        terrain=terrain_on))
+    else:
+        data = data.replace(sensordata=jnp.zeros((0,), dtype))
     return data
 
 

@@ -55,12 +55,13 @@ def body_cacc(model: FlyModel, data: Data) -> jax.Array:
 
 
 def contact_body_wrenches(model: FlyModel, data: Data, efc: _sol.EfcRows,
-                          f_c: jax.Array) -> jax.Array:
+                          f_c: jax.Array, terrain: bool = False
+                          ) -> jax.Array:
     """External contact wrenches per body at the root-subtree-CoM reference
     point, (nbody, 6) in (torque; force) spatial layout."""
     meta = model.meta
     dtype = data.qpos.dtype
-    tb = _col.pair_tables(meta)
+    tb = _col.pair_tables(meta, terrain)
     sel = efc.con_sel
     b1 = jnp.asarray(tb['slot_body1'], jnp.int32)[sel]
     b2 = jnp.asarray(tb['slot_body2'], jnp.int32)[sel]
@@ -84,7 +85,8 @@ def contact_body_wrenches(model: FlyModel, data: Data, efc: _sol.EfcRows,
 
 
 def cfrc_int(model: FlyModel, data: Data, efc: _sol.EfcRows,
-             f_c: jax.Array) -> tuple[jax.Array, jax.Array]:
+             f_c: jax.Array, terrain: bool = False
+             ) -> tuple[jax.Array, jax.Array]:
     """Internal (joint-transmitted) wrenches per body + cacc."""
     dtype = data.qpos.dtype
     _, sub = _sensor_tables(model.meta)
@@ -92,7 +94,7 @@ def cfrc_int(model: FlyModel, data: Data, efc: _sol.EfcRows,
     Iv = jnp.einsum('bij,bj->bi', data.cinert, data.cvel)
     h = jnp.einsum('bij,bj->bi', data.cinert, cacc) + sm.force_cross(
         data.cvel, Iv)
-    cfrc_ext = contact_body_wrenches(model, data, efc, f_c)
+    cfrc_ext = contact_body_wrenches(model, data, efc, f_c, terrain)
     if data.xfrc_applied is not None:
         root = np.array(model.meta.body_rootid)
         ref = data.subtree_com[root]
@@ -119,7 +121,7 @@ def _site_vel(model: FlyModel, data: Data, sid: int):
 
 
 def sensordata(model: FlyModel, data: Data, efc: _sol.EfcRows,
-               f_c: jax.Array) -> jax.Array:
+               f_c: jax.Array, terrain: bool = False) -> jax.Array:
     """Full sensordata vector (nsensordata,)."""
     meta = model.meta
     dtype = data.qpos.dtype
@@ -130,9 +132,9 @@ def sensordata(model: FlyModel, data: Data, efc: _sol.EfcRows,
                                  _s.SENS_TORQUE, _s.SENS_TOUCH)
                    for r in rows)
     if need_acc:
-        fint, cacc = cfrc_int(model, data, efc, f_c)
+        fint, cacc = cfrc_int(model, data, efc, f_c, terrain)
 
-    tb = _col.pair_tables(meta)
+    tb = _col.pair_tables(meta, terrain)
     sel = efc.con_sel
     b1 = jnp.asarray(tb['slot_body1'], jnp.int32)[sel]
     b2 = jnp.asarray(tb['slot_body2'], jnp.int32)[sel]

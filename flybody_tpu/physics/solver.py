@@ -138,11 +138,11 @@ def point_jacobian_diff(model: FlyModel, data: Data, body1, body2, pos):
 
 
 def make_efc(model: FlyModel, data: Data, con: _col.Contact,
-             ncon_max: int = NCON_MAX) -> EfcRows:
+             ncon_max: int = NCON_MAX, terrain: bool = False) -> EfcRows:
     """Assemble constraint rows: joint limits + top-K contacts."""
     meta = model.meta
     dtype = data.qpos.dtype
-    tb = _col.pair_tables(meta)
+    tb = _col.pair_tables(meta, terrain)
 
     # --- Joint limits.
     lim_dof, lim_sign, lim_jid = _limit_tables(meta)

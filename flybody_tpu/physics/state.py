@@ -72,6 +72,9 @@ class Data:
 
     # Sensors.
     sensordata: Optional[jax.Array] = None  # (nsensordata,)
+    # Sum of |contact-frame force| over fly self-contacts
+    # (reference fruitfly.py:687-704 self_contact observable).
+    self_contact_force: Optional[jax.Array] = None  # ()
 
     # Contacts (filled by the collision/solver modules).
     contact: Any = None
