@@ -70,13 +70,18 @@ class DMPOLearner:
     def __init__(self, obs_dim: int, action_dim: int,
                  config: DMPOConfig = DMPOConfig(),
                  action_min=None, action_max=None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32,
+                 policy=None, critic=None):
+        """policy/critic: optional custom flax modules with the
+        PolicyNetwork/CriticNetwork call signatures (e.g. the vision
+        networks from networks_vis.make_vision_networks)."""
         self.config = config
         self.obs_dim = obs_dim
         self.action_dim = action_dim
         self.dtype = dtype
-        self.policy = nets_lib.PolicyNetwork(action_size=action_dim)
-        self.critic = nets_lib.CriticNetwork()
+        self.policy = policy or nets_lib.PolicyNetwork(
+            action_size=action_dim)
+        self.critic = critic or nets_lib.CriticNetwork()
         self.policy_optimizer = optax.chain(
             optax.clip_by_global_norm(config.clip_grad_norm),
             optax.adam(config.policy_lr))

@@ -80,6 +80,91 @@ class VisNet(nn.Module):
         return jnp.concatenate(parts, axis=-1)
 
 
+class FlatObsAdapter(nn.Module):
+    """Un-slices a batch_concat flat tensor back into the observation dict
+    (static index layout) and applies VisNet.
+
+    The on-TPU replay stores flat tensors; the reference's acme pipeline
+    hands dicts to the networks (network_factory_vis.py:19-50). This adapter
+    makes the two equivalent: batch_concat is a fixed sorted-name layout, so
+    the images are recovered with static slices/reshapes."""
+
+    obs_layout: tuple  # ((name, start, end, shape), ...) static
+
+    @nn.compact
+    def __call__(self, flat: jax.Array) -> jax.Array:
+        obs = {}
+        for name, s, e, shape in self.obs_layout:
+            v = flat[..., s:e]
+            obs[name] = v.reshape(v.shape[:-1] + tuple(shape))
+        return VisNet()(obs)
+
+
+class VisPolicyNetwork(nn.Module):
+    """VisNet features -> LayerNormMLP(256^3) -> Normal head (reference
+    network_factory_vis.py:19-50 make_policy_network)."""
+
+    action_size: int
+    obs_layout: tuple
+    layer_sizes: Sequence[int] = (256, 256, 256)
+    init_scale: float = 0.7
+    min_scale: float = 1e-6
+
+    @nn.compact
+    def __call__(self, obs_flat):
+        feats = FlatObsAdapter(self.obs_layout)(obs_flat)
+        h = nets_lib.LayerNormMLP(self.layer_sizes,
+                                  activate_final=True)(feats)
+        init = nn.initializers.variance_scaling(1e-4, 'fan_in',
+                                                'truncated_normal')
+        mean = nn.Dense(self.action_size, kernel_init=init)(h)
+        scale_raw = nn.Dense(self.action_size, kernel_init=init)(h)
+        scale = jax.nn.softplus(scale_raw) * (
+            self.init_scale / jax.nn.softplus(0.0)) + self.min_scale
+        return nets_lib.IndependentNormal(mean=mean, stddev=scale)
+
+
+class VisCriticNetwork(nn.Module):
+    """VisNet features + clipped action -> LayerNormMLP -> C51 head
+    (reference network_factory_vis.py:52-80 make_critic_network)."""
+
+    obs_layout: tuple
+    layer_sizes: Sequence[int] = (512, 512, 256)
+    vmin: float = nets_lib.VMIN
+    vmax: float = nets_lib.VMAX
+    num_atoms: int = nets_lib.NUM_ATOMS
+
+    @nn.compact
+    def __call__(self, obs_flat, action):
+        feats = FlatObsAdapter(self.obs_layout)(obs_flat)
+        action = jnp.clip(action, -1.0, 1.0)
+        x = jnp.concatenate([feats, action], axis=-1)
+        h = nets_lib.LayerNormMLP(self.layer_sizes, activate_final=True)(x)
+        logits = nn.Dense(self.num_atoms)(h)
+        values = jnp.linspace(self.vmin, self.vmax, self.num_atoms,
+                              dtype=logits.dtype)
+        return nets_lib.DiscreteValuedDistribution(logits=logits,
+                                                   values=values)
+
+
+def obs_layout_from_spec(obs_spec: dict) -> tuple:
+    """Static ((name, start, end, shape), ...) layout of the batch_concat
+    tensor, for FlatObsAdapter."""
+    ranges = observable_indices_in_tensor(obs_spec)
+    return tuple(
+        (name, ranges[name][0], ranges[name][1],
+         tuple(int(d) for d in obs_spec[name].shape))
+        for name in sorted(obs_spec.keys()))
+
+
+def make_vision_networks(obs_spec: dict, action_size: int):
+    """(policy, critic) flax modules for the vision flight task, operating
+    on the flat replay tensors (reference network_factory_vis.py:19-80)."""
+    layout = obs_layout_from_spec(obs_spec)
+    return (VisPolicyNetwork(action_size=action_size, obs_layout=layout),
+            VisCriticNetwork(obs_layout=layout))
+
+
 class TwoLevelController(nn.Module):
     """Trainable high-level steering MLP driving a frozen low-level policy
     (reference network_factory_vis.py:223-292).
@@ -118,3 +203,73 @@ class TwoLevelController(nn.Module):
             [rest[..., :self.steering_idx], steering,
              rest[..., self.steering_idx:]], axis=-1)
         return self.ll_apply(ll_input)
+
+
+class VisTwoLevelPolicy(nn.Module):
+    """VisNet features -> TwoLevelController over a frozen LL policy:
+    the full controller-reuse vision policy (reference
+    network_factory_vis.py:19-50 with two_level_controller=True)."""
+
+    obs_layout: tuple
+    ll_apply: Any
+    steering_idx: int
+    steering_command_dim: int
+
+    @nn.compact
+    def __call__(self, obs_flat):
+        x = FlatObsAdapter(self.obs_layout)(obs_flat)
+        return TwoLevelController(
+            ll_apply=self.ll_apply,
+            steering_idx=self.steering_idx,
+            steering_command_dim=self.steering_command_dim)(x)
+
+
+def make_two_level_policy(vision_obs_spec: dict, ll_obs_spec: dict,
+                          ll_policy, ll_params,
+                          steering_obs=('walker/ref_displacement',
+                                        'walker/ref_root_quat')):
+    """Builds the controller-reuse vision policy.
+
+    Args:
+        vision_obs_spec: observation spec of the vision task (incl. eyes
+            and task_input).
+        ll_obs_spec: observation spec the frozen low-level flight policy
+            was trained on (incl. the steering observables).
+        ll_policy / ll_params: the trained flight PolicyNetwork module and
+            its (frozen) parameters, e.g. from
+            checkpointing.load_policy_snapshot.
+        steering_obs: observables replaced by the HL steering command.
+
+    The splice relies on batch_concat's sorted-name layout: the vision
+    task's proprioceptive observables must equal the LL task's observables
+    minus the steering ones (the reference's ordering contract,
+    network_factory_vis.py:223-260).
+    """
+    # Position/size of the steering block inside the LL flat tensor,
+    # measured in the layout WITHOUT the steering observables (= what the
+    # HL controller reconstructs from the vision obs).
+    idx = 0
+    steering_idx = None
+    steering_dim = 0
+    for name in sorted(ll_obs_spec):
+        size = int(np.prod(ll_obs_spec[name].shape))
+        if name in steering_obs:
+            if steering_idx is None:
+                steering_idx = idx
+            steering_dim += size
+        else:
+            idx += size
+    if steering_idx is None:
+        raise ValueError(f'{steering_obs} not found in LL obs spec')
+    if steering_dim % 7:
+        raise ValueError('steering command must be displacement+quat '
+                         f'blocks (multiple of 7), got {steering_dim}')
+
+    def ll_apply(obs_flat):
+        return ll_policy.apply(ll_params, obs_flat)
+
+    return VisTwoLevelPolicy(
+        obs_layout=obs_layout_from_spec(vision_obs_spec),
+        ll_apply=ll_apply,
+        steering_idx=steering_idx,
+        steering_command_dim=steering_dim)

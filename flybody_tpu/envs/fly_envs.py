@@ -40,6 +40,13 @@ VISION_OBS = ['walker/' + s for s in
                'left_eye', 'task_input')]
 
 
+def _with_extras(obs_list, env_kwargs):
+    """Appends extra_observables names to an adapter observation list."""
+    extras = env_kwargs.get('extra_observables', ())
+    return list(obs_list) + [f'walker/{n}' for n in extras
+                             if f'walker/{n}' not in obs_list]
+
+
 @functools.lru_cache(maxsize=16)
 def _walking_model(force_actuators: bool = False,
                    disable_wings: bool = True,
@@ -136,7 +143,7 @@ def flight_imitation(ref_path: str | None = None,
                              time_limit=0.6, **env_kwargs)
     if functional:
         return env
-    return DmFlyEnv(env, FLIGHT_OBS, seed=seed)
+    return DmFlyEnv(env, _with_extras(FLIGHT_OBS, env_kwargs), seed=seed)
 
 
 def walk_imitation(ref_path: str | None = None,
@@ -175,7 +182,8 @@ def walk_imitation(ref_path: str | None = None,
                            time_limit=10.0, **env_kwargs)
     if functional:
         return env
-    return DmFlyEnv(env, WALK_IMITATION_OBS, seed=seed)
+    return DmFlyEnv(env, _with_extras(WALK_IMITATION_OBS, env_kwargs),
+                    seed=seed)
 
 
 def walk_on_ball(force_actuators: bool = False,
@@ -188,7 +196,7 @@ def walk_on_ball(force_actuators: bool = False,
     env = WalkOnBallEnv(model, time_limit=2.0, **env_kwargs)
     if functional:
         return env
-    return DmFlyEnv(env, BALL_OBS, seed=seed)
+    return DmFlyEnv(env, _with_extras(BALL_OBS, env_kwargs), seed=seed)
 
 
 def vision_guided_flight(wpg_pattern_path: str | None = None,
@@ -209,7 +217,7 @@ def vision_guided_flight(wpg_pattern_path: str | None = None,
                           time_limit=0.4, **env_kwargs)
     if functional:
         return env
-    return DmFlyEnv(env, VISION_OBS, seed=seed)
+    return DmFlyEnv(env, _with_extras(VISION_OBS, env_kwargs), seed=seed)
 
 
 def template_task(force_actuators: bool = False,
@@ -228,4 +236,4 @@ def template_task(force_actuators: bool = False,
                       action_corruptor=action_corruptor, **env_kwargs)
     if functional:
         return env
-    return DmFlyEnv(env, WALK_OBS, seed=seed)
+    return DmFlyEnv(env, _with_extras(WALK_OBS, env_kwargs), seed=seed)

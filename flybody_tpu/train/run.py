@@ -74,7 +74,13 @@ def main(argv=None):
     p.add_argument('--test', action='store_true',
                    help='Tiny smoke configuration (reference --test mode).')
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--cpu', action='store_true',
+                   help='force the CPU backend (the axon TPU platform '
+                        'ignores JAX_PLATFORMS env vars)')
     args = p.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
 
     if args.test:
         args.num_envs = 8
@@ -94,6 +100,7 @@ def main(argv=None):
         rollout_length=args.rollout_length,
         replay_capacity=args.replay_capacity,
         min_replay_fraction=0.002 if not args.test else 0.0,
+        networks='vision' if args.task.startswith('vision') else 'default',
         dmpo=DMPOConfig(batch_size=args.batch_size,
                         num_samples=20 if not args.test else 4),
     )

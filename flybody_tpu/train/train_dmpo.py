@@ -40,6 +40,7 @@ class TrainConfig:
     replay_capacity: int = 1_000_000  # per device
     min_replay_fraction: float = 0.01
     learner_steps_per_iter: int | None = None  # None: derive from SPI
+    networks: str = 'default'  # 'default' (MLP) or 'vision' (VisNet convs)
     dmpo: dmpo_lib.DMPOConfig = dmpo_lib.DMPOConfig()
 
 
@@ -66,10 +67,15 @@ class DMPOTrainer:
         self.action_dim = env.tables.num_actions
         dtype = jnp.asarray(env.model.qpos0).dtype
         self.dtype = dtype
+        policy = critic = None
+        if config.networks == 'vision':
+            from flybody_tpu.agents import networks_vis
+            policy, critic = networks_vis.make_vision_networks(
+                ts_shape, self.action_dim)
         self.learner = dmpo_lib.DMPOLearner(
             self.obs_dim, self.action_dim, config.dmpo,
             action_min=env.action_min, action_max=env.action_max,
-            dtype=dtype)
+            dtype=dtype, policy=policy, critic=critic)
         cfg = config.dmpo
         inserts = config.num_envs * (
             config.rollout_length - cfg.n_step + 1)
