@@ -39,10 +39,15 @@ def rollout_and_render(env, policy, n_steps: int = 100,
             fenv = env.functional_env
             fkd, _, _ = kin.fwd_position_smooth(fenv.model, state.data)
             terrain = getattr(state.task, 'terrain', None)
-            frames.append({k: np.asarray(v) for k, v in
-                           rasterizer.render_eyes(
-                               fenv.model, fkd, terrain,
-                               **render_kwargs).items()})
+            frame = {}
+            if 'eyes' in camera_ids or camera_ids is True:
+                frame.update({k: np.asarray(v) for k, v in
+                              rasterizer.render_eyes(
+                                  fenv.model, fkd, terrain).items()})
+            if 'track' in camera_ids or camera_ids is True:
+                frame['track'] = np.asarray(rasterizer.render_tracking(
+                    fenv.model, fkd, terrain, **render_kwargs))
+            frames.append(frame)
         step += 1
     return {'frames': frames, 'qpos': np.array(qposes),
             'rewards': np.array(rewards)}

@@ -206,20 +206,17 @@ def _ray_terrain(origin, dirs, terrain, n_steps: int = 48,
     return t, n
 
 
-def render_eye(model: FlyModel, data, cam_id: int, terrain=None,
-               size: int = 32, fovy: float = 150.0):
-    """Render one eye camera to a (size, size) grayscale image in 0..255."""
+def render_scene(model: FlyModel, data, cam_pos, cam_mat, terrain=None,
+                 size: int = 32, fovy: float = 150.0,
+                 floor_z: float | None = None):
+    """Ray-traced grayscale render from an arbitrary camera pose.
+
+    cam_mat columns are the camera axes (x right, y up, looks along -z,
+    MuJoCo convention). `floor_z` adds an infinite checkered ground plane
+    (for scenes without hfield terrain)."""
     meta = model.meta
     dtype = data.qpos.dtype
     spheres, capsules, ellipsoids, _ = _render_tables(meta)
-
-    # Camera world pose.
-    b = meta.cam_bodyid[cam_id]
-    from flybody_tpu.utils import quaternions as quat
-    cam_pos = data.xpos[b] + quat.rotate_vec_with_quat(
-        model.cam_pos[cam_id], data.xquat[b])
-    cam_mat = quat.quat_to_mat(quat.mult_quat(data.xquat[b],
-                                              model.cam_quat[cam_id]))
 
     rays_cam = _pixel_rays(size, jnp.asarray(fovy, dtype), dtype)
     dirs = (rays_cam.reshape(-1, 3) @ cam_mat.T)  # (P, 3) world
@@ -227,17 +224,22 @@ def render_eye(model: FlyModel, data, cam_id: int, terrain=None,
 
     t_best = jnp.full((size * size,), _BIG, dtype)
     n_best = jnp.zeros((size * size, 3), dtype).at[:, 2].set(1.0)
+    albedo = jnp.ones((size * size,), dtype)
 
-    def merge(t_best, n_best, t, n):
+    def merge(state, t, n, alb=None):
+        t_best, n_best, albedo = state
         better = t < t_best
+        alb = jnp.ones_like(t) if alb is None else alb
         return (jnp.where(better, t, t_best),
-                jnp.where(better[:, None], n, n_best))
+                jnp.where(better[:, None], n, n_best),
+                jnp.where(better, alb, albedo))
 
+    state = (t_best, n_best, albedo)
     if len(spheres):
         c = data.geom_xpos[spheres]
         r = model.geom_size[spheres][:, 0]
         t, n = _ray_spheres(origin, dirs, c, r)
-        t_best, n_best = merge(t_best, n_best, t, n)
+        state = merge(state, t, n)
     if len(capsules):
         c = data.geom_xpos[capsules]
         axis = data.geom_xmat[capsules][:, :, 2]
@@ -245,25 +247,89 @@ def render_eye(model: FlyModel, data, cam_id: int, terrain=None,
         r = model.geom_size[capsules][:, 0]
         t, n = _ray_capsules(origin, dirs, c - h[:, None] * axis,
                              c + h[:, None] * axis, r)
-        t_best, n_best = merge(t_best, n_best, t, n)
+        state = merge(state, t, n)
     if len(ellipsoids):
         c = data.geom_xpos[ellipsoids]
         mats = data.geom_xmat[ellipsoids]
         sz = jnp.maximum(model.geom_size[ellipsoids], 1e-4)
         t, n = _ray_ellipsoids(origin, dirs, c, mats, sz)
-        t_best, n_best = merge(t_best, n_best, t, n)
+        state = merge(state, t, n)
     if terrain is not None:
         t, n = _ray_terrain(origin, dirs, terrain)
-        t_best, n_best = merge(t_best, n_best, t, n)
+        state = merge(state, t, n)
+    if floor_z is not None:
+        t = (floor_z - origin[2]) / jnp.where(
+            jnp.abs(dirs[:, 2]) > 1e-9, dirs[:, 2], 1e-9)
+        t = jnp.where((dirs[:, 2] < -1e-9) & (t > 1e-4), t, _BIG)
+        p = origin[None, :] + t[:, None] * dirs
+        checker = (jnp.floor(p[:, 0] * 2) + jnp.floor(p[:, 1] * 2)) % 2
+        alb = 0.6 + 0.4 * checker
+        n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], dtype),
+                             (size * size, 3))
+        state = merge(state, t, n, alb)
 
+    t_best, n_best, albedo = state
     hit = t_best < _BIG
     # Headlight shading (ambient 0.4, diffuse 0.8 toward the camera,
     # matching the fruitfly.xml headlight, fruitfly.xml:202).
     diffuse = jnp.maximum(-jnp.sum(n_best * dirs, axis=-1), 0.0)
-    shade = jnp.clip(0.4 + 0.8 * diffuse, 0.0, 1.0)
+    shade = jnp.clip((0.4 + 0.8 * diffuse) * albedo, 0.0, 1.0)
     background = 0.25  # dark sky (lights removed in the vision task)
     img = jnp.where(hit, shade, background) * 255.0
     return img.reshape(size, size)
+
+
+def render_eye(model: FlyModel, data, cam_id: int, terrain=None,
+               size: int = 32, fovy: float = 150.0):
+    """Render one eye camera to a (size, size) grayscale image in 0..255."""
+    meta = model.meta
+    # Camera world pose.
+    b = meta.cam_bodyid[cam_id]
+    from flybody_tpu.utils import quaternions as quat
+    cam_pos = data.xpos[b] + quat.rotate_vec_with_quat(
+        model.cam_pos[cam_id], data.xquat[b])
+    cam_mat = quat.quat_to_mat(quat.mult_quat(data.xquat[b],
+                                              model.cam_quat[cam_id]))
+    return render_scene(model, data, cam_pos, cam_mat, terrain, size, fovy)
+
+
+def tracking_camera_pose(target, azimuth_deg=30.0, elevation_deg=-25.0,
+                         distance=2.0, dtype=jnp.float32):
+    """Third-person camera pose orbiting a target point. Returns
+    (cam_pos, cam_mat) in the MuJoCo camera convention (looks along -z)."""
+    target = jnp.asarray(target, dtype)
+    az = jnp.deg2rad(jnp.asarray(azimuth_deg, dtype))
+    el = jnp.deg2rad(jnp.asarray(elevation_deg, dtype))
+    # Offset from target toward the camera.
+    off = distance * jnp.stack([jnp.cos(el) * jnp.cos(az),
+                                jnp.cos(el) * jnp.sin(az),
+                                -jnp.sin(el)])
+    cam_pos = target + off
+    fwd = (target - cam_pos)
+    fwd = fwd / jnp.linalg.norm(fwd)
+    up0 = jnp.asarray([0.0, 0.0, 1.0], dtype)
+    right = jnp.cross(fwd, up0)
+    right = right / jnp.maximum(jnp.linalg.norm(right), 1e-9)
+    up = jnp.cross(right, fwd)
+    cam_mat = jnp.stack([right, up, -fwd], axis=1)  # columns x, y, -fwd=z
+    return cam_pos, cam_mat
+
+
+def render_tracking(model: FlyModel, data, terrain=None, size: int = 64,
+                    fovy: float = 60.0, azimuth_deg=30.0,
+                    elevation_deg=-25.0, distance=2.0,
+                    floor_z: float | None = 0.0):
+    """Third-person view tracking the fly root body (video rendering,
+    counterpart of the reference's MuJoCo tracking cameras)."""
+    meta = model.meta
+    b = meta.body_names.index('thorax')
+    cam_pos, cam_mat = tracking_camera_pose(
+        data.xpos[b], azimuth_deg, elevation_deg, distance,
+        dtype=data.qpos.dtype)
+    if terrain is not None:
+        floor_z = None
+    return render_scene(model, data, cam_pos, cam_mat, terrain, size, fovy,
+                        floor_z=floor_z)
 
 
 def render_eyes(model: FlyModel, data, terrain=None, size: int = 32,

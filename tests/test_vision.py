@@ -57,3 +57,34 @@ def test_vision_env_eyes(kind):
     assert ts.observation['walker/task_input'].shape == (2,)
     ts = env.step(np.zeros(12))
     assert np.isfinite(ts.reward)
+
+
+def test_tracking_camera_render():
+    import jax
+    import numpy as np
+    from flybody_tpu.envs import fly_envs
+    from flybody_tpu.physics import kinematics as kin
+    from flybody_tpu.vision import rasterizer
+
+    env = fly_envs.walk_on_ball(functional=True)
+    state, _ = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    fkd, _, _ = kin.fwd_position_smooth(env.model, state.data)
+    img = np.asarray(rasterizer.render_tracking(env.model, fkd, size=32,
+                                                distance=1.2))
+    assert img.shape == (32, 32)
+    assert img.min() >= 0.0 and img.max() <= 255.0
+    # Scene content: sky above (background), bright geometry below.
+    bg = 0.25 * 255.0
+    assert abs(float(img[0].mean()) - bg) < 8.0  # top row ~ sky
+    assert float(img[-8:].mean()) > bg + 30.0    # bottom: ball/floor
+
+    # Camera pose helper: orthonormal, looks at the target.
+    import jax.numpy as jnp
+    pos, mat = rasterizer.tracking_camera_pose(
+        jnp.zeros(3), azimuth_deg=10.0, elevation_deg=-30.0, distance=2.0)
+    np.testing.assert_allclose(np.asarray(mat.T @ mat), np.eye(3),
+                               atol=1e-6)
+    fwd = -np.asarray(mat[:, 2])
+    look = -np.asarray(pos)
+    look = look / np.linalg.norm(look)
+    np.testing.assert_allclose(fwd, look, atol=1e-6)
