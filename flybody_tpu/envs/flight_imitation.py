@@ -56,6 +56,24 @@ class FlightImitationEnv(envbase.FruitFlyEnv):
         # wing joint qpos order must match the WBPG channel order
         # yaw,roll,pitch x left,right (model order is already that).
 
+    def with_trajectory(self, com_qpos, com_qvel) -> 'FlightImitationEnv':
+        """Returns a copy of this env serving exactly the given CoM
+        trajectory — the functional analog of the reference
+        InferenceFlightTrajectoryLoader.set_next_trajectory
+        (trajectory_loaders.py:166-181); CoM converted to root frame like
+        the HDF5 loader."""
+        import copy
+        com_qpos = np.array(com_qpos, dtype=np.float64)
+        com_qvel = np.asarray(com_qvel)
+        com_qpos[:, :2] -= com_qpos[0, :2]
+        root = traj_lib.com2root(com_qpos[:, :3], com_qpos[:, 3:])
+        qpos = np.concatenate([root, com_qpos[:, 3:]], axis=1)
+        dtype = np.asarray(self.model.qpos0).dtype
+        env = copy.copy(self)
+        env.store = traj_lib.store_from_arrays([qpos], [com_qvel],
+                                               dtype=dtype)
+        return env
+
     # ------------------------------------------------------------------ task
 
     def _init_task(self, rng) -> FlightTask:

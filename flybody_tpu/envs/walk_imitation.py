@@ -61,6 +61,18 @@ class WalkImitationEnv(envbase.FruitFlyEnv):
             [meta.site_names.index(n) for n in mocap_site_names],
             dtype=np.int64)
 
+    def with_trajectory(self, qpos, qvel) -> 'WalkImitationEnv':
+        """Returns a copy of this env serving exactly the given (T, nq_root
+        [+joints]) trajectory — the functional analog of the reference
+        InferenceWalkingTrajectoryLoader.set_next_trajectory
+        (trajectory_loaders.py:289-301)."""
+        import copy
+        dtype = np.asarray(self.model.qpos0).dtype
+        env = copy.copy(self)
+        env.store = traj_lib.store_from_arrays(
+            [np.asarray(qpos)], [np.asarray(qvel)], dtype=dtype)
+        return env
+
     # ------------------------------------------------------------------ task
 
     def _init_task(self, rng) -> WalkTask:
