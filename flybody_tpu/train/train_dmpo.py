@@ -173,24 +173,32 @@ class DMPOTrainer:
 
         min_size = max(cfg.dmpo.batch_size,
                        int(cfg.replay_capacity * cfg.min_replay_fraction))
+        ready = replay.size >= min_size
 
-        def learner_scan(carry, rng_l):
-            learner, replay = carry
-            replay, batch = replay_lib.sample(replay, rng_l,
-                                              cfg.dmpo.batch_size)
+        # Pre-sample every learner batch with one batched gather and keep
+        # the replay buffers OUT of the learner scan carry (sampling never
+        # mutates them; only the sample counter advances).
+        rngs = jax.random.split(r_learn, self.learner_steps)
+        batches = jax.vmap(
+            lambda r: replay_lib.sample(replay, r, cfg.dmpo.batch_size)[1]
+        )(rngs)
+        replay = replay._replace(
+            samples=replay.samples + self.learner_steps
+            * cfg.dmpo.batch_size)
+
+        def learner_scan(learner, xs):
+            batch, rng_l = xs
             r_step = jax.random.fold_in(rng_l, 1)
             new_learner, stats = self._sgd(learner, batch, r_step,
                                            axis_name)
             # Skip updates until replay is warm.
-            ready = replay.size >= min_size
             learner = jax.tree.map(
                 lambda new, old: jnp.where(ready, new, old), new_learner,
                 learner)
-            return (learner, replay), stats
+            return learner, stats
 
-        rngs = jax.random.split(r_learn, self.learner_steps)
-        (learner, replay), stats = jax.lax.scan(
-            learner_scan, (state.learner, replay), rngs)
+        learner, stats = jax.lax.scan(learner_scan, state.learner,
+                                      (batches, rngs))
         stats = jax.tree.map(lambda x: x[-1], stats)
 
         new_state = TrainState(
