@@ -61,7 +61,12 @@ def main():
             return states, ts.reward
 
         states, rewards = jax.lax.scan(body, states, actions)
-        return rewards
+        # Return a function of the final physics state so XLA cannot
+        # dead-code-eliminate the dynamics (inference-mode rewards are
+        # state-independent, which silently turned this rollout into a
+        # no-op before this checksum was added).
+        checksum = jnp.sum(states.data.qpos) + jnp.sum(states.data.qvel)
+        return rewards, checksum
 
     rngs = jax.random.split(jax.random.PRNGKey(0), batch)
     actions = 0.1 * jax.random.normal(

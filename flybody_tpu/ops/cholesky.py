@@ -1,0 +1,224 @@
+"""Batched small-matrix Cholesky factor/solve as Pallas TPU kernels.
+
+The Newton contact solver factors a (nv, nv) Hessian and solves against it
+every iteration, for every env. XLA's batched `cholesky`/`triangular_solve`
+on TPU run at ~27 GFLOP/s for nv=108 (123 ms factor + 73 ms solve at batch
+8192 on v5e — measured), making them ~80% of the physics step. These
+kernels lay the batch out on the 128 lanes ((n, n, 128) blocks in VMEM) so
+the factorization's sequential column loop is fully vectorized across
+envs: each column step is one rsqrt + one (n, n, 128) fused
+multiply-subtract on the VPU.
+
+API (all f32, batch-leading like jax.scipy):
+    chol(A):            (B, n, n) -> L lower-triangular (B, n, n)
+    cho_solve(L, b):    (B, n, n), (B, n) -> x with L L^T x = b
+    Falls back to jax.scipy on non-TPU backends (and for testing).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _use_pallas():
+    try:
+        return jax.default_backend() == 'tpu'
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+# ---------------------------------------------------------------- factor
+
+
+def _chol_kernel(a_ref, l_ref, work):
+    """Right-looking Cholesky, vectorized over the 128 lanes (= envs).
+
+    The working matrix stays symmetric under the rank-1 updates, so row k
+    doubles as column k — no in-kernel transposes needed."""
+    n = a_ref.shape[0]
+    work[...] = a_ref[...]
+    l_ref[...] = jnp.zeros_like(a_ref[...])
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+
+    def body(k, _):
+        col = work[:, pl.ds(k, 1), :]            # (n, 1, LANES)
+        row = work[pl.ds(k, 1), :, :]            # (1, n, LANES) == col^T
+        dkk = work[pl.ds(k, 1), pl.ds(k, 1), :]  # (1, 1, LANES)
+        inv = jax.lax.rsqrt(jnp.maximum(dkk, 1e-30))
+        c = jnp.where(rows >= k, col * inv, 0.0)
+        r = jnp.where(cols >= k, row * inv, 0.0)
+        l_ref[:, pl.ds(k, 1), :] = c
+        # Rank-1 trailing update; rows/cols <= k are never read again.
+        work[...] = work[...] - c * r
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def _chol_pallas(A_t, interpret=False):
+    """A_t: (n, n, B) with B a multiple of LANES."""
+    n = A_t.shape[0]
+    B = A_t.shape[-1]
+    grid = (B // LANES,)
+    return pl.pallas_call(
+        _chol_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n, B), A_t.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n, n, LANES), jnp.float32)],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(A_t)
+
+
+def chol(A, interpret: bool | None = None):
+    """Batched lower Cholesky of PSD (B, n, n) matrices."""
+    if interpret is None and not _use_pallas():
+        return jnp.linalg.cholesky(A)
+    B, n, _ = A.shape
+    pad = (-B) % LANES
+    A_t = jnp.moveaxis(A, 0, -1)  # (n, n, B)
+    if pad:
+        # Identity-pad so the factorization stays finite in dead lanes.
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype)[:, :, None],
+                               (n, n, pad))
+        A_t = jnp.concatenate([A_t, eye], axis=-1)
+    L_t = _chol_pallas(A_t, interpret=bool(interpret))
+    L = jnp.moveaxis(L_t[..., :B], -1, 0)
+    return L
+
+
+# ----------------------------------------------------------------- solve
+
+
+def _solve_kernel(l_ref, b_ref, x_ref, y_scr):
+    """Two triangular substitutions, vectorized over lanes.
+
+    y (forward pass) is kept in (1, n, LANES) layout so the row-dot in the
+    forward substitution and the y-lookup in the backward substitution are
+    both transpose-free."""
+    n = l_ref.shape[0]
+
+    y_scr[...] = jnp.zeros_like(y_scr[...])
+
+    # Forward: L y = b. acc = sum_j L[k, j] * y[j] (y[j >= k] still 0).
+    def fwd(k, _):
+        Lrow = l_ref[pl.ds(k, 1), :, :]            # (1, n, LANES)
+        dkk = l_ref[pl.ds(k, 1), pl.ds(k, 1), :]   # (1, 1, LANES)
+        acc = jnp.sum(Lrow * y_scr[...], axis=1, keepdims=True)
+        bk = b_ref[pl.ds(k, 1), :, :]              # (1, 1, LANES)
+        y_scr[:, pl.ds(k, 1), :] = (bk - acc) / dkk
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd, 0)
+
+    # Backward: L^T x = y. acc = sum_j L[j, k] * x[j] (x[j <= k] still 0).
+    x_ref[...] = jnp.zeros_like(x_ref[...])
+
+    def bwd(i, _):
+        k = n - 1 - i
+        Lcol = l_ref[:, pl.ds(k, 1), :]            # (n, 1, LANES)
+        dkk = l_ref[pl.ds(k, 1), pl.ds(k, 1), :]
+        acc = jnp.sum(Lcol * x_ref[...], axis=0, keepdims=True)
+        yk = y_scr[:, pl.ds(k, 1), :]
+        x_ref[pl.ds(k, 1), :, :] = (yk - acc) / dkk
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def _solve_pallas(L_t, b_t, interpret=False):
+    n = L_t.shape[0]
+    B = L_t.shape[-1]
+    grid = (B // LANES,)
+    return pl.pallas_call(
+        _solve_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, 1, B), L_t.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((n, 1, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((n, 1, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, n, LANES), jnp.float32)],
+        interpret=interpret,
+    )(L_t, b_t)
+
+
+# ------------------------------------------------- per-env (vmap) wrappers
+#
+# The engine is written per-env and jax.vmap'ed over the batch. These
+# custom_vmap wrappers run plain XLA for a single env but dispatch the
+# whole batch to the pallas kernels when vmapped.
+
+from jax import custom_batching
+
+
+@custom_batching.custom_vmap
+def chol_pe(A):
+    """(n, n) lower Cholesky; pallas-batched under vmap on TPU."""
+    return jnp.linalg.cholesky(A)
+
+
+@chol_pe.def_vmap
+def _chol_pe_vmap(axis_size, in_batched, A):
+    del axis_size
+    if not in_batched[0]:  # pragma: no cover - constant operand
+        return jnp.linalg.cholesky(A), False
+    return chol(A), True
+
+
+@custom_batching.custom_vmap
+def cho_solve_pe(L, b):
+    """Solves L L^T x = b for one env; pallas-batched under vmap."""
+    import jax.scipy.linalg as jsl
+    return jsl.cho_solve((L, True), b[..., None])[..., 0]
+
+
+@cho_solve_pe.def_vmap
+def _cho_solve_pe_vmap(axis_size, in_batched, L, b):
+    del axis_size
+    import jax.scipy.linalg as jsl
+    if not (in_batched[0] and in_batched[1]):  # pragma: no cover
+        out = jax.vmap(lambda l, r: jsl.cho_solve(
+            (l, True), r[..., None])[..., 0],
+            in_axes=(0 if in_batched[0] else None,
+                     0 if in_batched[1] else None))(L, b)
+        return out, True
+    return cho_solve(L, b), True
+
+
+def cho_solve(L, b, interpret: bool | None = None):
+    """Solves L L^T x = b for batched (B, n, n) factors and (B, n) rhs."""
+    if interpret is None and not _use_pallas():
+        import jax.scipy.linalg as jsl
+        return jsl.cho_solve((L, True), b[..., None])[..., 0]
+    B, n, _ = L.shape
+    pad = (-B) % LANES
+    L_t = jnp.moveaxis(L, 0, -1)
+    b_t = jnp.moveaxis(b, 0, -1)[:, None, :]  # (n, 1, B)
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype)[:, :, None],
+                               (n, n, pad))
+        L_t = jnp.concatenate([L_t, eye], axis=-1)
+        b_t = jnp.concatenate(
+            [b_t, jnp.zeros((n, 1, pad), b.dtype)], axis=-1)
+    x_t = _solve_pallas(L_t, b_t, interpret=bool(interpret))
+    return jnp.moveaxis(x_t[:, 0, :B], -1, 0)

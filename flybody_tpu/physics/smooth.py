@@ -72,15 +72,24 @@ def crb(model: FlyModel, data: Data) -> Data:
 
 def factor_m(model: FlyModel, data: Data,
              extra_diag: jax.Array | None = None) -> Data:
-    """Cholesky factorization of (qM + diag(extra_diag))."""
+    """Cholesky factorization of (qM + diag(extra_diag)).
+
+    Uses the pallas lane-batched kernel under vmap on TPU
+    (ops/cholesky.py); qLD holds a clean lower-triangular factor."""
+    from flybody_tpu.ops import cholesky as _pchol
     M = data.qM
     if extra_diag is not None:
         M = M + jnp.diag(extra_diag)
-    return data.replace(qLD=jax.scipy.linalg.cho_factor(M, lower=True)[0])
+    return data.replace(qLD=_pchol.chol_pe(M))
 
 
 def solve_m(model: FlyModel, data: Data, rhs: jax.Array) -> jax.Array:
-    """Solve qM x = rhs using the cached Cholesky factor."""
+    """Solve qM x = rhs using the cached Cholesky factor. Vector rhs
+    takes the pallas substitution kernel; matrix rhs stays on XLA's
+    triangular solves (MXU-friendly for many columns)."""
+    from flybody_tpu.ops import cholesky as _pchol
+    if rhs.ndim == 1:
+        return _pchol.cho_solve_pe(data.qLD, rhs)
     return jax.scipy.linalg.cho_solve((data.qLD, True), rhs)
 
 

@@ -341,37 +341,46 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         H = H + lim_onehot.T @ (hd[:, None] * lim_onehot)
         return g, H
 
-    def cost_slope_curv(x, dx):
-        """phi'(0), phi''(0) along dx at point x (for line search)."""
-        jar_l, f_l, jar_c, f_c = _constraint_cost_grad_hess(efc, x)
-        g = M @ (x - a_free)
-        g = g - lim_onehot.T @ (f_l * lim_sign)
-        g = g - jnp.einsum('krv,kr->v', efc.con_J, f_c)
-        slope = g @ dx
-        act_l = efc.lim_active * (jar_l < 0)
-        Hc = _cone_hessian(jar_c, efc.con_mu, efc.con_frictional,
-                           efc.con_active) * efc.con_D[:, None, None]
-        jd_c = jnp.einsum('krv,v->kr', efc.con_J, dx)
-        curv = dx @ (M @ dx)
-        curv = curv + jnp.sum(efc.lim_D * act_l * (dx[efc.lim_dof]
-                                                   * lim_sign) ** 2)
-        curv = curv + jnp.einsum('kr,krs,ks->', jd_c, Hc, jd_c)
-        return slope, jnp.maximum(curv, 1e-15)
-
     x = a_free
 
     def newton_step(_, x):
         g, H = grad_and_hess(x)
-        L = jax.scipy.linalg.cho_factor(
-            H + 1e-12 * jnp.eye(nv, dtype=dtype), lower=True)
-        dx = -jax.scipy.linalg.cho_solve((L[0], True), g)
+        from flybody_tpu.ops import cholesky as _pchol
+        L = _pchol.chol_pe(H + 1e-12 * jnp.eye(nv, dtype=dtype))
+        dx = -_pchol.cho_solve_pe(L, g)
+
+        # Precompute directional quantities once: along dx, phi'(alpha) and
+        # phi''(alpha) are pure per-row functions of jar0 + alpha*jv (the
+        # same trick MuJoCo's Newton line search uses) — the line-search
+        # iterations below involve NO matrix-vector products.
+        mdx = M @ dx
+        sm0 = (M @ (x - a_free)) @ dx  # smooth slope at alpha = 0
+        smm = dx @ mdx                 # smooth curvature (constant)
+        jar0_l = (x[efc.lim_dof] * jnp.asarray(efc.lim_sign, dtype)
+                  - efc.lim_aref)
+        jv_l = dx[efc.lim_dof] * jnp.asarray(efc.lim_sign, dtype)
+        jar0_c = jnp.einsum('krv,v->kr', efc.con_J, x) - efc.con_aref
+        jv_c = jnp.einsum('krv,v->kr', efc.con_J, dx)
+
+        def slope_at(a):
+            jar_l = jar0_l + a * jv_l
+            act_l = efc.lim_active * (jar_l < 0)
+            f_l = -efc.lim_D * jar_l * act_l
+            jar_c = jar0_c + a * jv_c
+            res = _cone_residual(jar_c, efc.con_mu, efc.con_frictional,
+                                 efc.con_active)
+            f_c = -efc.con_D[:, None] * res
+            slope = (sm0 + a * smm - jnp.sum(f_l * jv_l)
+                     - jnp.sum(f_c * jv_c))
+            Hc = _cone_hessian(jar_c, efc.con_mu, efc.con_frictional,
+                               efc.con_active) * efc.con_D[:, None, None]
+            curv = smm + jnp.sum(efc.lim_D * act_l * jv_l ** 2)
+            curv = curv + jnp.einsum('kr,krs,ks->', jv_c, Hc, jv_c)
+            return slope, jnp.maximum(curv, 1e-15)
 
         # phi(alpha) is convex piecewise-quadratic along dx with phi'(0) < 0.
         # Bracket the minimizer by doubling, then bisection with Newton
         # acceleration inside the bracket.
-        def slope_at(a):
-            s, c = cost_slope_curv(x + a * dx, dx)
-            return s, c
 
         def expand(_, hi):
             s, _ = slope_at(hi)

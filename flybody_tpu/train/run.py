@@ -129,6 +129,13 @@ def main(argv=None):
     stats = {k: float(np.asarray(v)) for k, v in stats.items()
              if np.asarray(v).size == 1}
     print('final stats:', stats)
+    if args.ckpt_dir:
+        from flybody_tpu.agents.checkpointing import (Checkpointer,
+                                                      save_policy_snapshot)
+        ckpt.save(int(state.learner.steps), state, force=True)
+        path = save_policy_snapshot(args.ckpt_dir, 'policy',
+                                    state.learner.target_policy_params)
+        print('saved final checkpoint + policy snapshot:', path)
     return state
 
 
