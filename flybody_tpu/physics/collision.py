@@ -392,6 +392,38 @@ def _handler(key):
     }[key]
 
 
+# Number of closest pairs (by bounding sphere) sent to MPR per group.
+MPR_TOP_P = 128
+
+
+def _mpr_topp(model: FlyModel, data: Data, key, g1, g2):
+    """Bounding-sphere broadphase + gathered MPR narrowphase.
+
+    Pairs further apart than their bounding spheres (+ margins) cannot
+    contact; only the MPR_TOP_P closest run the iterative narrowphase.
+    """
+    dtype = data.qpos.dtype
+    c1 = data.geom_xpos[g1]
+    c2 = data.geom_xpos[g2]
+    rb = model.geom_rbound.astype(dtype)
+    mg = model.geom_margin.astype(dtype)
+    d_bound = (jnp.linalg.norm(c2 - c1, axis=-1)
+               - rb[g1] - rb[g2] - mg[g1] - mg[g2])
+    _, idx = jax.lax.top_k(-d_bound, MPR_TOP_P)
+    tg1 = jnp.asarray(g1)[idx]
+    tg2 = jnp.asarray(g2)[idx]
+    d, p, n = _handler(key)(model, data, tg1, tg2)  # (P, 1, ...)
+    oh = jax.nn.one_hot(idx, len(g1), dtype=dtype)  # (P, P_all)
+    covered = jnp.sum(oh, axis=0)  # (P_all,)
+    d_full = oh.T @ d[:, 0] + 1e10 * (1.0 - covered)
+    p_full = oh.T @ p[:, 0]
+    n_full = oh.T @ n[:, 0]
+    # Uncovered slots need a valid (unit) normal for frame construction.
+    n_full = n_full + (1.0 - covered)[:, None] * jnp.asarray(
+        [0.0, 0.0, 1.0], dtype)
+    return d_full[:, None], p_full[:, None], n_full[:, None]
+
+
 def collide(model: FlyModel, data: Data,
             terrain: jax.Array | None = None) -> Contact:
     """Evaluate all candidate pairs; returns static-size contact slots.
@@ -405,7 +437,14 @@ def collide(model: FlyModel, data: Data,
     dists, poss, normals = [], [], []
     frictions, solrefs, solimps, margins, incmargins = [], [], [], [], []
     for key, (g1, g2, k) in tb['groups'].items():
-        d, p, n = _handler(key)(model, data, g1, g2)
+        if key in _MPR_PAIRS and len(g1) > MPR_TOP_P:
+            # Broadphase for the expensive iterative narrowphase: run MPR
+            # only on the MPR_TOP_P closest pairs by bounding-sphere
+            # distance; the rest are provably separated this step. Results
+            # scatter back to their static slots with a one-hot matmul.
+            d, p, n = _mpr_topp(model, data, key, g1, g2)
+        else:
+            d, p, n = _handler(key)(model, data, g1, g2)
         fr, sr, si, mg, im = _combine_params(model, g1, g2)
         dists.append(d.reshape(-1))
         poss.append(p.reshape(-1, 3))

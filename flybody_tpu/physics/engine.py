@@ -135,7 +135,8 @@ def fwd(model: FlyModel, data: Data,
     a_free = _sm.solve_m(model, data, qfrc_smooth)
     qacc, qfrc_con, f_l, f_c = _sol.solve(
         model, data, efc, a_free, iterations=solver_iterations,
-        ls_iterations=ls_iterations)
+        ls_iterations=ls_iterations,
+        warmstart=data.qacc if data.qacc is not None else None)
     niter = (meta.noslip_iterations if noslip_iterations is None
              else noslip_iterations)
     if niter > 0:

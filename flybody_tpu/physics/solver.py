@@ -312,11 +312,29 @@ def _constraint_cost_grad_hess(efc: EfcRows, x, qvel_dummy=None):
     return jar_l, f_l, jar_c, f_c
 
 
+def _primal_cost(efc: EfcRows, M, a_free, x):
+    """Primal objective 0.5(x-a_free)^T M (x-a_free) + s(Jx - aref)."""
+    dx = x - a_free
+    cost = 0.5 * dx @ (M @ dx)
+    jar_l = x[efc.lim_dof] * jnp.asarray(efc.lim_sign, x.dtype) - efc.lim_aref
+    act_l = efc.lim_active * (jar_l < 0)
+    cost = cost + 0.5 * jnp.sum(efc.lim_D * act_l * jar_l ** 2)
+    jar_c = jnp.einsum('krv,v->kr', efc.con_J, x) - efc.con_aref
+    res = _cone_residual(jar_c, efc.con_mu, efc.con_frictional,
+                         efc.con_active)
+    cost = cost + 0.5 * jnp.sum(efc.con_D[:, None] * res ** 2)
+    return cost
+
+
 def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
-          iterations: int = 15, ls_iterations: int = 10):
+          iterations: int = 15, ls_iterations: int = 10,
+          warmstart: jax.Array | None = None):
     """Newton solve for qacc; returns (qacc, qfrc_constraint, efc forces).
 
     `a_free` is the unconstrained acceleration M^{-1} qfrc_smooth.
+    `warmstart` (optional): previous step's qacc; the starting point is
+    whichever of (warmstart, a_free) has lower primal cost — MuJoCo's
+    mj_warmstart semantics.
     """
     dtype = data.qpos.dtype
     nv = model.meta.nv
@@ -342,6 +360,10 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         return g, H
 
     x = a_free
+    if warmstart is not None:
+        c_ws = _primal_cost(efc, M, a_free, warmstart)
+        c_af = _primal_cost(efc, M, a_free, a_free)
+        x = jnp.where(c_ws < c_af, warmstart, a_free)
 
     def newton_step(_, x):
         g, H = grad_and_hess(x)
