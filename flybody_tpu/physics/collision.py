@@ -412,6 +412,10 @@ def _mpr_topp(model: FlyModel, data: Data, key, g1, g2):
     _, idx = jax.lax.top_k(-d_bound, MPR_TOP_P)
     tg1 = jnp.asarray(g1)[idx]
     tg2 = jnp.asarray(g2)[idx]
+    # Traced gather indices require jnp model fields (the model may hold
+    # numpy arrays in host-side tests).
+    model = model.replace(geom_size=jnp.asarray(model.geom_size),
+                          geom_margin=jnp.asarray(model.geom_margin))
     d, p, n = _handler(key)(model, data, tg1, tg2)  # (P, 1, ...)
     oh = jax.nn.one_hot(idx, len(g1), dtype=dtype)  # (P, P_all)
     covered = jnp.sum(oh, axis=0)  # (P_all,)
