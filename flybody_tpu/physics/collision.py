@@ -373,7 +373,7 @@ def _mpr_handler(t1, t2):
             model.geom_size[g1], data.geom_xpos[g2], data.geom_xmat[g2],
             model.geom_size[g2], margin1=model.geom_margin[g1],
             margin2=model.geom_margin[g2],
-            polish_iters=12 if smooth_pair else 0)
+            polish_iters=8 if smooth_pair else 0)
         return dist[:, None], pos[:, None], n[:, None]
     return h
 

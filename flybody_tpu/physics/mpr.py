@@ -18,8 +18,8 @@ import jax.numpy as jnp
 from flybody_tpu.model import spec as _s
 
 _EPS = 1e-12
-_DISCOVERY_ITERS = 16
-_REFINE_ITERS = 40
+_DISCOVERY_ITERS = 10
+_REFINE_ITERS = 24
 
 
 def support(gtype: int, pos, mat, size, d):

@@ -365,7 +365,8 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         c_af = _primal_cost(efc, M, a_free, a_free)
         x = jnp.where(c_ws < c_af, warmstart, a_free)
 
-    def newton_step(_, x):
+    def newton_step(carry):
+        x, it, g0n = carry
         g, H = grad_and_hess(x)
         from flybody_tpu.ops import cholesky as _pchol
         L = _pchol.chol_pe(H + 1e-12 * jnp.eye(nv, dtype=dtype))
@@ -429,9 +430,16 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         # Guard: never take an uphill step.
         s0, _ = slope_at(jnp.zeros_like(alpha))
         alpha = jnp.where(s0 < 0, alpha, jnp.zeros_like(alpha))
-        return x + alpha * dx
+        gnorm = jnp.linalg.norm(g)
+        g0n = jnp.where(it == 0, gnorm, g0n)
+        return x + alpha * dx, it + 1, g0n
 
-    x = jax.lax.fori_loop(0, iterations, newton_step, x)
+    # NOTE: a tolerance-based lax.while_loop would let warm-started envs
+    # exit early, but a pallas custom-call inside a batched while_loop
+    # faults the TPU runtime (observed 2026-08-16); fixed trip count.
+    x, _, _ = jax.lax.fori_loop(
+        0, iterations, lambda i, c: newton_step(c),
+        (x, jnp.zeros((), jnp.int32), jnp.zeros((), dtype)))
 
     jar_l, f_l, jar_c, f_c = _constraint_cost_grad_hess(efc, x)
     qfrc = lim_onehot.T @ (f_l * lim_sign) + jnp.einsum(
@@ -455,38 +463,28 @@ def noslip(model: FlyModel, data: Data, efc: EfcRows, qacc: jax.Array,
     from flybody_tpu.physics import smooth as _sm
     Pt = _sm.solve_m(model, data, Jt.reshape(K * 2, -1).T)  # (nv, 2K)
     Pt = jnp.swapaxes(Pt.reshape(-1, K, 2), 0, 1)  # (K, nv, 2)
-    A = jnp.einsum('krv,kvs->krs', Jt, Pt)  # (K, 2, 2)
-    # Regularize the 2x2 blocks minimally for inversion.
-    A = A + 1e-12 * jnp.eye(2, dtype=dtype)
-    Ainv = jnp.linalg.inv(A)
+    # A = Jt @ Pt as mul+sum (the tiny batched 2x108x2 matmul form
+    # serializes on the MXU: ~335 ms at batch 8192; this is ~3 ms) and a
+    # closed-form 2x2 inverse.
+    A = jnp.sum(Jt[:, :, None, :] * jnp.swapaxes(Pt, -1, -2)[:, None],
+                axis=-1)  # (K, 2, 2)
+    a, b_, c_, d_ = A[:, 0, 0], A[:, 0, 1], A[:, 1, 0], A[:, 1, 1]
+    det = a * d_ - b_ * c_
+    det = jnp.where(jnp.abs(det) > 1e-12, det,
+                    jnp.where(det >= 0, 1e-12, -1e-12))
+    Ainv = jnp.stack([jnp.stack([d_, -b_], -1),
+                      jnp.stack([-c_, a], -1)], -2) / det[:, None, None]
     aref_t = efc.con_aref[:, 1:]
     use = (efc.con_active * efc.con_frictional) > 0
 
-    def contact_update(carry, k):
-        x, ft = carry
-        res = Jt[k] @ x - aref_t[k]
-        delta = -(Ainv[k] @ res)
-        ft_new = ft[k] + delta
-        # Clamp to the friction circle |f_t| <= mu * f_n.
-        fn = f_c[k, 0]
-        lim = jnp.maximum(efc.con_mu[k] * fn, 0.0)
-        norm = jnp.linalg.norm(ft_new)
-        ft_new = jnp.where(norm > lim,
-                           ft_new * (lim / jnp.maximum(norm, 1e-15)),
-                           ft_new)
-        ft_new = jnp.where(use[k], ft_new, ft[k])
-        dft = ft_new - ft[k]
-        x = x + Pt[k] @ dft
-        ft = ft.at[k].set(ft_new)
-        return (x, ft), None
-
+    # Friction-circle radii (normal forces held fixed).
+    lim = jnp.maximum(efc.con_mu * f_c[:, 0], 0.0)
     ft0 = f_c[:, 1:]
-    x = qacc
 
-    def sweep(_, carry):
-        (x, ft), _ = jax.lax.scan(contact_update, carry, jnp.arange(K))
-        return (x, ft)
-
-    x, ft = jax.lax.fori_loop(0, iterations, sweep, (x, ft0))
+    # The sequential GS sweeps run in a VMEM-resident pallas kernel when
+    # vmapped on TPU (ops/noslip_gs.py); plain scan otherwise.
+    from flybody_tpu.ops import noslip_gs as _ngs
+    x, ft = _ngs.make_gs_pe(iterations)(
+        Jt, Pt, Ainv, aref_t, lim, use.astype(dtype), qacc, ft0)
     f_c_new = jnp.concatenate([f_c[:, :1], ft], axis=1)
     return x, f_c_new
