@@ -368,12 +368,17 @@ def _mpr_handler(t1, t2):
     smooth_pair = _s.GEOM_CYLINDER not in (t1, t2)
 
     def h(model, data, g1, g2):
-        dist, n, pos = _mpr.mpr_penetration(
-            t1, t2, data.geom_xpos[g1], data.geom_xmat[g1],
-            model.geom_size[g1], data.geom_xpos[g2], data.geom_xmat[g2],
-            model.geom_size[g2], margin1=model.geom_margin[g1],
-            margin2=model.geom_margin[g2],
-            polish_iters=8 if smooth_pair else 0)
+        # Under vmap on TPU this dispatches the VMEM-resident pallas MPR
+        # kernel (ops/mpr_kernel.py); otherwise the plain jnp MPR runs.
+        from flybody_tpu.ops import mpr_kernel as _mprk
+        f = _mprk.make_mpr_pe(t1, t2, 8 if smooth_pair else 0)
+        dist, n, pos = f(
+            data.geom_xpos[g1], data.geom_xmat[g1],
+            jnp.asarray(model.geom_size)[g1],
+            jnp.asarray(model.geom_margin)[g1],
+            data.geom_xpos[g2], data.geom_xmat[g2],
+            jnp.asarray(model.geom_size)[g2],
+            jnp.asarray(model.geom_margin)[g2])
         return dist[:, None], pos[:, None], n[:, None]
     return h
 

@@ -8,6 +8,11 @@ position like MuJoCo's convex-pair wrapper.
 
 Support functions operate in world frame on (pos, mat, size) triples with
 a static geom-type code per batch (pairs are grouped by type statically).
+
+The loop state carries, per portal vertex, the Minkowski point v = a - b
+and the witness SUM s = a + b (the contact midpoint only needs
+0.5*(pa + pb) = 0.5 * sum_i w_i s_i), which cuts the sequential loops'
+HBM-resident carry by a third vs carrying (a, b) separately.
 """
 
 from __future__ import annotations
@@ -81,13 +86,14 @@ def mpr_penetration(type1: int, type2: int, pos1, mat1, size1, pos2, mat2,
         total_margin = total_margin + margin2
 
     def S(d):
+        """Returns (v, s) = (a - b, a + b) of the margin-inflated pair."""
         a = support(type1, pos1, mat1, size1, d)
         b = support(type2, pos2, mat2, size2, -d)
         if margin1 is not None:
             a = a + margin1[..., None] * d
         if margin2 is not None:
             b = b - margin2[..., None] * d
-        return a - b, a, b
+        return a - b, a + b
 
     dtype = pos1.dtype
     batch = pos1.shape[:-1]
@@ -99,7 +105,7 @@ def mpr_penetration(type1: int, type2: int, pos1, mat1, size1, pos2, mat2,
 
     # v1: support toward origin.
     n = _norm(-v0)
-    v1, a1, b1 = S(n)
+    v1, s1 = S(n)
     sep = _dot(v1, n) <= 0
 
     # v2: perpendicular to (v1, v0).
@@ -112,27 +118,25 @@ def mpr_penetration(type1: int, type2: int, pos1, mat1, size1, pos2, mat2,
     alt = jnp.where(jnp.linalg.norm(alt, axis=-1, keepdims=True) < 1e-14,
                     alt2, alt)
     n1 = _norm(jnp.where(degen[..., None], alt, n1))
-    v2, a2, b2 = S(n1)
+    v2, s2 = S(n1)
     sep = sep | (_dot(v2, n1) <= 0)
 
     # Initial portal candidate; enforce winding: n away from v0.
     n2 = jnp.cross(v1 - v0, v2 - v0)
     swap = _dot(n2, v0) > 0
     v1n = jnp.where(swap[..., None], v2, v1)
-    a1n = jnp.where(swap[..., None], a2, a1)
-    b1n = jnp.where(swap[..., None], b2, b1)
+    s1n = jnp.where(swap[..., None], s2, s1)
     v2n = jnp.where(swap[..., None], v1, v2)
-    a2n = jnp.where(swap[..., None], a1, a2)
-    b2n = jnp.where(swap[..., None], b1, b2)
-    v1, a1, b1, v2, a2, b2 = v1n, a1n, b1n, v2n, a2n, b2n
+    s2n_ = jnp.where(swap[..., None], s1, s2)
+    v1, s1, v2, s2 = v1n, s1n, v2n, s2n_
     n2 = _norm(jnp.where(swap[..., None], -n2, n2))
 
-    v3, a3, b3 = S(n2)
+    v3, s3 = S(n2)
     sep = sep | (_dot(v3, n2) <= 0)
 
     # --- Discovery: origin ray (from v0) must pass through (v1, v2, v3).
     def discovery(_, carry):
-        v1, a1, b1, v2, a2, b2, v3, a3, b3, n, done, sep = carry
+        v1, s1, v2, s2, v3, s3, n, done, sep = carry
         out1 = _dot(jnp.cross(v1, v3), v0) < 0  # origin outside (v1,v0,v3)
         out2 = _dot(jnp.cross(v3, v2), v0) < 0  # origin outside (v3,v0,v2)
         act = ~done & ~sep
@@ -142,35 +146,32 @@ def mpr_penetration(type1: int, type2: int, pos1, mat1, size1, pos2, mat2,
         done = done | newly_done
 
         v2_ = jnp.where(rep2[..., None], v3, v2)
-        a2_ = jnp.where(rep2[..., None], a3, a2)
-        b2_ = jnp.where(rep2[..., None], b3, b2)
+        s2_ = jnp.where(rep2[..., None], s3, s2)
         v1_ = jnp.where(rep1[..., None], v3, v1)
-        a1_ = jnp.where(rep1[..., None], a3, a1)
-        b1_ = jnp.where(rep1[..., None], b3, b1)
+        s1_ = jnp.where(rep1[..., None], s3, s1)
         # New candidate normal maintaining winding.
         n_new = jnp.where(rep2[..., None],
                           jnp.cross(v1_ - v0, v3 - v0),
                           jnp.cross(v3 - v0, v2_ - v0))
         n_new = _norm(n_new)
-        v3_, a3_, b3_ = S(n_new)
+        v3n, s3n = S(n_new)
         cont = rep1 | rep2
-        sep = sep | (cont & (_dot(v3_, n_new) <= 0))
-        v3_ = jnp.where(cont[..., None], v3_, v3)
-        a3_ = jnp.where(cont[..., None], a3_, a3)
-        b3_ = jnp.where(cont[..., None], b3_, b3)
+        sep = sep | (cont & (_dot(v3n, n_new) <= 0))
+        v3_ = jnp.where(cont[..., None], v3n, v3)
+        s3_ = jnp.where(cont[..., None], s3n, s3)
         n = jnp.where(cont[..., None], n_new, n)
-        return (v1_, a1_, b1_, v2_, a2_, b2_, v3_, a3_, b3_, n, done, sep)
+        return (v1_, s1_, v2_, s2_, v3_, s3_, n, done, sep)
 
     done0 = jnp.zeros(batch, dtype=bool)
-    carry = (v1, a1, b1, v2, a2, b2, v3, a3, b3, n2, done0, sep)
+    carry = (v1, s1, v2, s2, v3, s3, n2, done0, sep)
     carry = jax.lax.fori_loop(0, _DISCOVERY_ITERS, discovery, carry)
-    v1, a1, b1, v2, a2, b2, v3, a3, b3, _, _, sep = carry
+    v1, s1, v2, s2, v3, s3, _, _, sep = carry
 
     # --- Refinement.
     def refine(_, carry):
-        v1, a1, b1, v2, a2, b2, v3, a3, b3, best_n, best_depth, conv = carry
+        v1, s1, v2, s2, v3, s3, best_n, best_depth, conv = carry
         n = _norm(jnp.cross(v2 - v1, v3 - v1))
-        v4, a4, b4 = S(n)
+        v4, s4 = S(n)
         depth = _dot(v1, n)
         gap = _dot(v4 - v3, n)
         best_n = jnp.where(conv[..., None], best_n, n)
@@ -189,23 +190,19 @@ def mpr_penetration(type1: int, type2: int, pos1, mat1, size1, pos2, mat2,
             return jnp.where((cond & ~conv)[..., None], new, old)
 
         v1_ = repl(rep_v1a | rep_v1b, v1, v4)
-        a1_ = repl(rep_v1a | rep_v1b, a1, a4)
-        b1_ = repl(rep_v1a | rep_v1b, b1, b4)
+        s1_ = repl(rep_v1a | rep_v1b, s1, s4)
         v2_ = repl(rep_v2, v2, v4)
-        a2_ = repl(rep_v2, a2, a4)
-        b2_ = repl(rep_v2, b2, b4)
+        s2_ = repl(rep_v2, s2, s4)
         v3_ = repl(rep_v3, v3, v4)
-        a3_ = repl(rep_v3, a3, a4)
-        b3_ = repl(rep_v3, b3, b4)
-        return (v1_, a1_, b1_, v2_, a2_, b2_, v3_, a3_, b3_, best_n,
-                best_depth, conv)
+        s3_ = repl(rep_v3, s3, s4)
+        return (v1_, s1_, v2_, s2_, v3_, s3_, best_n, best_depth, conv)
 
     conv0 = jnp.zeros(batch, dtype=bool)
     bn0 = jnp.zeros(batch + (3,), dtype).at[..., 2].set(1.0)
     bd0 = jnp.zeros(batch, dtype)
-    carry = (v1, a1, b1, v2, a2, b2, v3, a3, b3, bn0, bd0, conv0)
+    carry = (v1, s1, v2, s2, v3, s3, bn0, bd0, conv0)
     carry = jax.lax.fori_loop(0, _REFINE_ITERS, refine, carry)
-    v1, a1, b1, v2, a2, b2, v3, a3, b3, n, depth, _ = carry
+    v1, s1, v2, s2, v3, s3, n, depth, _ = carry
 
     # Witness midpoint: project origin onto the portal plane, barycentric.
     p = depth[..., None] * n
@@ -220,9 +217,9 @@ def mpr_penetration(type1: int, type2: int, pos1, mat1, size1, pos2, mat2,
     w2 = jnp.where(bad, 0.0, w2 / safe)
     w3 = jnp.where(bad, 0.0, w3 / safe)
 
-    pa = w1[..., None] * a1 + w2[..., None] * a2 + w3[..., None] * a3
-    pb = w1[..., None] * b1 + w2[..., None] * b2 + w3[..., None] * b3
-    pos = 0.5 * (pa + pb)
+    # 0.5 * (pa + pb) = 0.5 * sum_i w_i * (a_i + b_i).
+    pos = 0.5 * (w1[..., None] * s1 + w2[..., None] * s2
+                 + w3[..., None] * s3)
 
     if polish_iters:
         # Smooth-pair polish: the penetration depth is min over unit
@@ -234,17 +231,17 @@ def mpr_penetration(type1: int, type2: int, pos1, mat1, size1, pos2, mat2,
                             jnp.max(size2, axis=-1))[..., None]
 
         def polish(_, u):
-            xd, _, _ = S(u)
+            xd, _ = S(u)
             grad_t = xd - _dot(xd, u)[..., None] * u
             return _norm(u - 0.3 * grad_t / scale)
 
         n_p = jax.lax.fori_loop(0, polish_iters, polish, n)
-        v_p, a_p, b_p = S(n_p)
+        v_p, s_p = S(n_p)
         depth_p = _dot(v_p, n_p)
         better = depth_p < depth
         n = jnp.where(better[..., None], n_p, n)
         depth = jnp.where(better, depth_p, depth)
-        pos = jnp.where(better[..., None], 0.5 * (a_p + b_p), pos)
+        pos = jnp.where(better[..., None], 0.5 * s_p, pos)
 
     # MuJoCo normal convention (from geom1 into geom2) = +n empirically.
     # Un-inflate: real distance = total_margin - inflated depth.
