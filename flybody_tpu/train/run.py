@@ -113,7 +113,8 @@ def main(argv=None):
 
     state = trainer.init(jax.random.PRNGKey(args.seed))
     if ckpt is not None and ckpt.latest_step is not None:
-        state = ckpt.restore(state)
+        payload = ckpt.restore(trainer.checkpoint_payload(state))
+        state = trainer.restore_from_payload(state, payload)
         print(f'Restored checkpoint at step {ckpt.latest_step}')
 
     step_fn = jax.jit(trainer.train_iteration)
@@ -125,14 +126,16 @@ def main(argv=None):
                   f'{time.time() - t0:.1f} s', flush=True)
         logger.write(stats, force=(it in (0, args.iterations - 1)))
         if ckpt is not None:
-            ckpt.save(int(state.learner.steps), state)
+            ckpt.save(int(state.learner.steps),
+                      trainer.checkpoint_payload(state))
     stats = {k: float(np.asarray(v)) for k, v in stats.items()
              if np.asarray(v).size == 1}
     print('final stats:', stats)
     if args.ckpt_dir:
         from flybody_tpu.agents.checkpointing import (Checkpointer,
                                                       save_policy_snapshot)
-        ckpt.save(int(state.learner.steps), state, force=True)
+        ckpt.save(int(state.learner.steps),
+                  trainer.checkpoint_payload(state), force=True)
         path = save_policy_snapshot(args.ckpt_dir, 'policy',
                                     state.learner.target_policy_params)
         print('saved final checkpoint + policy snapshot:', path)

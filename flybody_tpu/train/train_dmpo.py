@@ -212,6 +212,28 @@ class DMPOTrainer:
         stats['mean_step_reward'] = jnp.mean(rew_seq)
         return new_state, stats
 
+    # ------------------------------------------------------- checkpointing
+
+    def checkpoint_payload(self, state: TrainState) -> dict:
+        """Small, resume-relevant slice of the train state: learner params/
+        optimizers + counters. The replay buffer (GBs) is deliberately NOT
+        checkpointed — large device->host transfers during orbax saves have
+        crashed the TPU worker, and replay re-warms in a few iterations."""
+        return {
+            'learner': state.learner,
+            'env_steps': state.env_steps,
+            'episodes': state.episodes,
+            'reward_sum': state.reward_sum,
+        }
+
+    def restore_from_payload(self, state: TrainState,
+                             payload: dict) -> TrainState:
+        """Merges a checkpoint payload into a freshly init'd TrainState."""
+        return state._replace(learner=payload['learner'],
+                              env_steps=payload['env_steps'],
+                              episodes=payload['episodes'],
+                              reward_sum=payload['reward_sum'])
+
     def _sgd(self, learner, batch, rng, axis_name):
         if axis_name is None:
             return self.learner.sgd_step(learner, batch, rng)
