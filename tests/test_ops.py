@@ -1,0 +1,155 @@
+"""Pallas kernels (ops/) validated in interpret mode against references."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flybody_tpu.model import spec as _s
+from flybody_tpu.ops import cholesky as pchol
+from flybody_tpu.ops import mpr_kernel as mprk
+from flybody_tpu.ops import noslip_gs as ngs
+from flybody_tpu.physics import mpr as jmpr
+
+
+@pytest.fixture(scope='module')
+def spd():
+    rng = np.random.RandomState(0)
+    B, n = 256, 54
+    A = jnp.asarray(rng.randn(B, n, n), jnp.float32)
+    M = (jnp.einsum('bij,bkj->bik', A, A)
+         + 10.0 * jnp.eye(n, dtype=jnp.float32))
+    b = jnp.asarray(rng.randn(B, n), jnp.float32)
+    return M, b
+
+
+def test_chol_kernel_matches_xla(spd):
+    M, _ = spd
+    L_ref = jnp.linalg.cholesky(M)
+    L = pchol.chol(M, interpret=True)
+    np.testing.assert_allclose(np.asarray(L), np.asarray(L_ref),
+                               atol=2e-5, rtol=2e-3)
+    # Upper triangle must be exactly zero (consumers assume a clean L).
+    n = M.shape[-1]
+    upper = np.triu(np.ones((n, n)), k=1).astype(bool)
+    assert np.abs(np.asarray(L)[:, upper]).max() == 0.0
+
+
+def test_cho_solve_kernel_matches_xla(spd):
+    M, b = spd
+    import jax.scipy.linalg as jsl
+    L = jnp.linalg.cholesky(M)
+    x_ref = jsl.cho_solve((L, True), b[..., None])[..., 0]
+    x = pchol.cho_solve(L, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=2e-5)
+    # Residual check against the original system.
+    res = jnp.einsum('bij,bj->bi', M, x) - b
+    assert float(jnp.abs(res).max()) < 1e-4
+
+
+def test_chol_pe_vmap_dispatch(spd):
+    M, b = spd
+    # Under vmap the custom rule runs; off-TPU it falls back to XLA.
+    L = jax.vmap(pchol.chol_pe)(M)
+    np.testing.assert_allclose(np.asarray(L),
+                               np.asarray(jnp.linalg.cholesky(M)),
+                               atol=2e-5, rtol=2e-3)
+    x = jax.vmap(pchol.cho_solve_pe)(L, b)
+    res = jnp.einsum('bij,bj->bi', M, x) - b
+    assert float(jnp.abs(res).max()) < 1e-4
+
+
+def test_noslip_gs_kernel_matches_scan():
+    rng = np.random.RandomState(0)
+    B, K, nv = 8, 16, 32
+    Jt = jnp.asarray(rng.randn(B, K, 2, nv), jnp.float32)
+    Pt = jnp.asarray(rng.randn(B, K, nv, 2) * 0.05, jnp.float32)
+    A = (jnp.einsum('bkrv,bkvs->bkrs', Jt, Pt)
+         + 0.5 * jnp.eye(2, dtype=jnp.float32))
+    Ainv = jnp.linalg.inv(A).astype(jnp.float32)
+    aref = jnp.asarray(rng.randn(B, K, 2), jnp.float32)
+    lim = jnp.asarray(np.abs(rng.randn(B, K)), jnp.float32)
+    use = jnp.asarray((rng.rand(B, K) > 0.3).astype(np.float32))
+    x0 = jnp.asarray(rng.randn(B, nv), jnp.float32)
+    ft0 = jnp.asarray(0.1 * rng.randn(B, K, 2), jnp.float32)
+
+    ref = jax.vmap(lambda *a: ngs._reference(*a, 3))(
+        Jt, Pt, Ainv, aref, lim, use, x0, ft0)
+
+    def tol(v, shape):
+        v = jnp.moveaxis(v.reshape((B,) + shape), 0, -1)
+        pad = (-B) % ngs.LANES
+        return jnp.concatenate([v, jnp.zeros(shape + (pad,), v.dtype)], -1)
+
+    x_t, ft_t = ngs._noslip_pallas(
+        tol(Jt, (2 * K, nv)), tol(jnp.swapaxes(Pt, 2, 3), (2 * K, nv)),
+        tol(jnp.swapaxes(Ainv.reshape(B, K, 4), 1, 2), (4, K)),
+        tol(jnp.swapaxes(aref, 1, 2), (2, K)), tol(lim, (1, K)),
+        tol(use, (1, K)), tol(x0, (nv, 1)),
+        tol(jnp.swapaxes(ft0, 1, 2), (2, K)), iterations=3, interpret=True)
+    x = jnp.moveaxis(x_t[:, 0, :B], -1, 0)
+    ft = jnp.swapaxes(jnp.moveaxis(ft_t[..., :B], -1, 0), 1, 2)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ft), np.asarray(ref[1]),
+                               atol=1e-4)
+
+
+def _rand_rots(rng, n):
+    q = rng.randn(n, 4)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    w, x, y, z = q.T
+    return np.stack([
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x),
+        1 - 2 * (x * x + y * y)], axis=1).reshape(n, 3, 3)
+
+
+@pytest.mark.parametrize('types,polish', [
+    ((_s.GEOM_CAPSULE, _s.GEOM_ELLIPSOID), 8),
+    ((_s.GEOM_ELLIPSOID, _s.GEOM_ELLIPSOID), 8),
+])
+def test_mpr_kernel_matches_reference(types, polish):
+    t1, t2 = types
+    rng = np.random.RandomState(0)
+    B, P = 4, 8
+    pos1 = jnp.asarray(0.2 * rng.randn(B, P, 3), jnp.float32)
+    pos2 = jnp.asarray(pos1 + 0.08 * rng.randn(B, P, 3), jnp.float32)
+    mat1 = jnp.asarray(_rand_rots(rng, B * P).reshape(B, P, 3, 3),
+                       jnp.float32)
+    mat2 = jnp.asarray(_rand_rots(rng, B * P).reshape(B, P, 3, 3),
+                       jnp.float32)
+    size1 = jnp.asarray(0.04 + 0.05 * rng.rand(B, P, 3), jnp.float32)
+    size2 = jnp.asarray(0.04 + 0.05 * rng.rand(B, P, 3), jnp.float32)
+    mg = jnp.full((B, P), 5e-4, jnp.float32)
+
+    ref = jax.vmap(lambda *a: jmpr.mpr_penetration(
+        t1, t2, a[0], a[1], a[2], a[4], a[5], a[6], margin1=a[3],
+        margin2=a[7], polish_iters=polish))(
+        pos1, mat1, size1, mg, pos2, mat2, size2, mg)
+
+    def tol(v, c):
+        v = jnp.moveaxis(v.reshape(B, P, c), 0, -1)
+        v = jnp.moveaxis(v, 1, 0)
+        pad = (-B) % mprk.LANES
+        return jnp.concatenate([v, jnp.zeros((c, P, pad), v.dtype)], -1)
+
+    d_t, n_t, q_t = mprk._mpr_pallas(
+        t1, t2, polish, tol(pos1, 3), tol(mat1, 9), tol(size1, 3),
+        tol(mg[..., None], 1), tol(pos2, 3), tol(mat2, 9), tol(size2, 3),
+        tol(mg[..., None], 1), interpret=True)
+
+    def froml(v, c):
+        v = jnp.moveaxis(v[..., :B], 0, 1)
+        return jnp.moveaxis(v, -1, 0).reshape(B, P, c)
+
+    d = froml(d_t, 1)[..., 0]
+    n = froml(n_t, 3)
+    # Compare contact-relevant pairs (separated pairs have arbitrary
+    # normals and clamped dist).
+    near = np.asarray(ref[0] < 0.001)
+    assert near.sum() > 5
+    np.testing.assert_allclose(np.asarray(d)[near],
+                               np.asarray(ref[0])[near], atol=1e-4)
+    ndot = np.asarray(jnp.sum(n * ref[1], -1))[near]
+    assert ndot.min() > 0.999
