@@ -15,7 +15,7 @@ solver then gathers the top-K deepest contacts into its static-size rows.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -144,16 +144,61 @@ def pair_tables(meta: _s.Meta, terrain: bool = False):
 
 @struct.dataclass
 class Contact:
-    """All candidate contact slots (static size S)."""
+    """All candidate contact slots (static size S).
+
+    Only state-dependent fields live here: contact parameters (friction,
+    solref, solimp, margins) are pure functions of the model and come from
+    slot_params() — keeping them out of the vmapped collide output avoids
+    broadcasting ~2/3 of the struct across the env batch."""
 
     dist: jax.Array  # (S,)
     pos: jax.Array  # (S, 3)
     normal: jax.Array  # (S, 3), geom1 -> geom2
+
+
+class SlotParams(NamedTuple):
+    """Per-slot contact parameters (model constants, unbatched)."""
+
     friction: jax.Array  # (S, 5)
     solref: jax.Array  # (S, 2)
     solimp: jax.Array  # (S, 5)
     margin: jax.Array  # (S,)
     includemargin: jax.Array  # (S,) = margin - gap
+
+
+def slot_params(model: FlyModel, terrain: bool = False) -> SlotParams:
+    """Mixed contact parameters for every slot, in collide() slot order.
+
+    Pure function of the model (MuJoCo 3.x mixing; margin = SUM of geom
+    margins, includemargin == margin) — constant-folded inside jit and
+    never batched under vmap."""
+    meta = model.meta
+    tb = pair_tables(meta)
+    frictions, solrefs, solimps, margins, incmargins = [], [], [], [], []
+    for key, (g1, g2, k) in tb['groups'].items():
+        fr, sr, si, mg, im = _combine_params(model, g1, g2)
+        rep = lambda x: jnp.repeat(x, k, axis=0)
+        frictions.append(rep(fr))
+        solrefs.append(rep(sr))
+        solimps.append(rep(si))
+        margins.append(rep(mg))
+        incmargins.append(rep(im))
+    if terrain:
+        from flybody_tpu.physics import terrain as _terr
+        ttb = _terr.terrain_tables(meta)
+        tfr, tsr, tsi, tmg = _terr._terrain_params(model, ttb)
+        frictions.append(tfr)
+        solrefs.append(tsr)
+        solimps.append(tsi)
+        margins.append(tmg)
+        incmargins.append(tmg)
+    return SlotParams(
+        friction=jnp.concatenate(frictions),
+        solref=jnp.concatenate(solrefs),
+        solimp=jnp.concatenate(solimps),
+        margin=jnp.concatenate(margins),
+        includemargin=jnp.concatenate(incmargins),
+    )
 
 
 def _combine_params(model: FlyModel, g1: np.ndarray, g2: np.ndarray):
@@ -444,7 +489,6 @@ def collide(model: FlyModel, data: Data,
     dtype = data.qpos.dtype
 
     dists, poss, normals = [], [], []
-    frictions, solrefs, solimps, margins, incmargins = [], [], [], [], []
     for key, (g1, g2, k) in tb['groups'].items():
         if key in _MPR_PAIRS and len(g1) > MPR_TOP_P:
             # Broadphase for the expensive iterative narrowphase: run MPR
@@ -454,38 +498,19 @@ def collide(model: FlyModel, data: Data,
             d, p, n = _mpr_topp(model, data, key, g1, g2)
         else:
             d, p, n = _handler(key)(model, data, g1, g2)
-        fr, sr, si, mg, im = _combine_params(model, g1, g2)
         dists.append(d.reshape(-1))
         poss.append(p.reshape(-1, 3))
         normals.append(n.reshape(-1, 3))
-        rep = lambda x: jnp.repeat(x, k, axis=0)
-        frictions.append(rep(fr))
-        solrefs.append(rep(sr))
-        solimps.append(rep(si))
-        margins.append(rep(mg))
-        incmargins.append(rep(im))
 
     if terrain is not None:
         from flybody_tpu.physics import terrain as _terr
-        td, tp, tn, tfr, tsr, tsi, tmg, tim = _terr.terrain_contacts(
-            model, data, terrain)
+        td, tp, tn = _terr.terrain_contacts(model, data, terrain)
         dists.append(td)
         poss.append(tp)
         normals.append(tn)
-        # Terrain params are per-slot already (capsules repeat per end cap).
-        frictions.append(tfr)
-        solrefs.append(tsr)
-        solimps.append(tsi)
-        margins.append(tmg)
-        incmargins.append(tim)
 
     return Contact(
         dist=jnp.concatenate(dists).astype(dtype),
         pos=jnp.concatenate(poss).astype(dtype),
         normal=jnp.concatenate(normals).astype(dtype),
-        friction=jnp.concatenate(frictions).astype(dtype),
-        solref=jnp.concatenate(solrefs).astype(dtype),
-        solimp=jnp.concatenate(solimps).astype(dtype),
-        margin=jnp.concatenate(margins).astype(dtype),
-        includemargin=jnp.concatenate(incmargins).astype(dtype),
     )

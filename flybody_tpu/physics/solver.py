@@ -163,21 +163,22 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
     lim_D = 1.0 / R
 
     # --- Contacts: select top-K by (dist - includemargin).
-    score = con.dist - con.includemargin
+    params = _col.slot_params(model, terrain)
+    score = con.dist - params.includemargin.astype(dtype)
     neg = -score
     k = min(ncon_max, score.shape[0])
     _, sel = jax.lax.top_k(neg, k)
     sel = sel.astype(jnp.int32)
 
     c_dist = con.dist[sel]
-    c_margin = con.margin[sel]
-    c_incl = con.includemargin[sel]
+    c_margin = params.margin.astype(dtype)[sel]
+    c_incl = params.includemargin.astype(dtype)[sel]
     c_active = c_dist < c_incl
     c_pos = con.pos[sel]
     c_n = con.normal[sel]
-    c_mu = con.friction[sel][:, 0]
-    c_solref = con.solref[sel]
-    c_solimp = con.solimp[sel]
+    c_mu = params.friction.astype(dtype)[sel][:, 0]
+    c_solref = params.solref.astype(dtype)[sel]
+    c_solimp = params.solimp.astype(dtype)[sel]
     condim = jnp.asarray(tb['slot_condim'], jnp.int32)[sel]
     body1 = jnp.asarray(tb['slot_body1'], jnp.int32)[sel]
     body2 = jnp.asarray(tb['slot_body2'], jnp.int32)[sel]

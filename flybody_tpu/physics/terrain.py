@@ -104,10 +104,10 @@ def _plane_sphere(p0, n, c, r):
 def terrain_contacts(model: FlyModel, data: Data, terrain: jax.Array):
     """All terrain candidate contacts, in terrain_tables slot order.
 
-    Returns (dist (S,), pos (S,3), normal (S,3), friction (S,5),
-    solref (S,2), solimp (S,5), margin (S,), includemargin (S,)); the
-    normal points from the terrain into the fly geom (canonical geom1 ->
-    geom2 with the hfield as geom1, matching MuJoCo type ordering).
+    Returns (dist (S,), pos (S,3), normal (S,3)); the normal points from
+    the terrain into the fly geom (canonical geom1 -> geom2 with the
+    hfield as geom1, matching MuJoCo type ordering). Contact parameters
+    are static (see _terrain_params / collision.slot_params).
     """
     meta = model.meta
     tb = terrain_tables(meta)
@@ -155,9 +155,7 @@ def terrain_contacts(model: FlyModel, data: Data, terrain: jax.Array):
     dist = jnp.concatenate(dists).astype(dtype)
     pos = jnp.concatenate(poss).astype(dtype)
     normal = jnp.concatenate(normals).astype(dtype)
-
-    fr, sr, si, mg = _terrain_params(model, tb)
-    return dist, pos, normal, fr, sr, si, mg, mg
+    return dist, pos, normal
 
 
 def _terrain_params(model: FlyModel, tb):

@@ -62,8 +62,9 @@ def test_contact_set_parity(models, z):
     mujoco.mj_forward(m, d)
     con, _ = _collide(fly, d.qpos.copy())
     tb = collision.pair_tables(fly.meta)
+    params = collision.slot_params(fly)
     dist = np.asarray(con.dist)
-    active = dist < np.asarray(con.includemargin)
+    active = dist < np.asarray(params.includemargin)
     # Every MuJoCo contact has a matching active slot and vice versa.
     mjset = {}
     for c in d.contact:
@@ -80,11 +81,11 @@ def test_contact_set_parity(models, z):
                 np.asarray(con.pos)[i] - c.pos))
             assert abs(dist[best] - c.dist) < 2e-6
             assert np.dot(np.asarray(con.normal)[best], c.frame[:3]) > 0.999
-            np.testing.assert_allclose(np.asarray(con.friction)[best],
+            np.testing.assert_allclose(np.asarray(params.friction)[best],
                                        c.friction, rtol=1e-9)
-            np.testing.assert_allclose(np.asarray(con.solref)[best],
+            np.testing.assert_allclose(np.asarray(params.solref)[best],
                                        c.solref, rtol=1e-9)
-            assert abs(float(con.includemargin[best])
+            assert abs(float(params.includemargin[best])
                        - c.includemargin) < 1e-12
 
 
