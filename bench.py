@@ -5,8 +5,11 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
 100,000 walk-imitation env-steps/s/chip (BASELINE.json north star; the
 reference publishes no throughput numbers).
 
-Env overrides: BENCH_BATCH (default 1024), BENCH_STEPS (default 20),
-BENCH_TASK (walk_imitation | flight_imitation).
+Env overrides: BENCH_BATCH (default 8192), BENCH_STEPS (default 5),
+BENCH_TASK (walk_imitation | flight_imitation). NOTE: batch 8192 with
+>= 10 scanned control steps faults the axon TPU runtime (kernel fault in
+the long nested-scan program); 5 steps x 3 timed reps measures the same
+steady-state throughput.
 """
 
 import json
@@ -23,7 +26,7 @@ def main():
     import jax.numpy as jnp
 
     batch = int(os.environ.get('BENCH_BATCH', 8192))
-    steps = int(os.environ.get('BENCH_STEPS', 20))
+    steps = int(os.environ.get('BENCH_STEPS', 5))
     task = os.environ.get('BENCH_TASK', 'walk_imitation')
 
     from flybody_tpu.envs import fly_envs

@@ -38,30 +38,42 @@ def _use_pallas():
 # ---------------------------------------------------------------- factor
 
 
+# Static column-block size: the rank-1 trailing updates within block b
+# touch only the (n - b*NB)^2 lower-right region, roughly halving the
+# update work vs full-matrix updates.
+NB = 32
+
+
 def _chol_kernel(a_ref, l_ref, work):
-    """Right-looking Cholesky, vectorized over the 128 lanes (= envs).
+    """Blocked right-looking Cholesky, vectorized over the 128 lanes
+    (= envs).
 
     The working matrix stays symmetric under the rank-1 updates, so row k
     doubles as column k — no in-kernel transposes needed."""
     n = a_ref.shape[0]
     work[...] = a_ref[...]
     l_ref[...] = jnp.zeros_like(a_ref[...])
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
 
-    def body(k, _):
-        col = work[:, pl.ds(k, 1), :]            # (n, 1, LANES)
-        row = work[pl.ds(k, 1), :, :]            # (1, n, LANES) == col^T
-        dkk = work[pl.ds(k, 1), pl.ds(k, 1), :]  # (1, 1, LANES)
-        inv = jax.lax.rsqrt(jnp.maximum(dkk, 1e-30))
-        c = jnp.where(rows >= k, col * inv, 0.0)
-        r = jnp.where(cols >= k, row * inv, 0.0)
-        l_ref[:, pl.ds(k, 1), :] = c
-        # Rank-1 trailing update; rows/cols <= k are never read again.
-        work[...] = work[...] - c * r
-        return 0
+    for b0 in range(0, n, NB):  # static block loop (unrolled)
+        nb = min(NB, n - b0)
+        rem = n - b0
+        rows = jax.lax.broadcasted_iota(jnp.int32, (rem, 1, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, rem, 1), 1)
 
-    jax.lax.fori_loop(0, n, body, 0)
+        def body(k, _, b0=b0, rows=rows, cols=cols):
+            kk = b0 + k
+            col = work[b0:, pl.ds(kk, 1), :]          # (rem, 1, LANES)
+            row = work[pl.ds(kk, 1), b0:, :]          # (1, rem, LANES)
+            dkk = work[pl.ds(kk, 1), pl.ds(kk, 1), :]
+            inv = jax.lax.rsqrt(jnp.maximum(dkk, 1e-30))
+            c = jnp.where(rows >= k, col * inv, 0.0)
+            r = jnp.where(cols >= k, row * inv, 0.0)
+            l_ref[b0:, pl.ds(kk, 1), :] = c
+            # Rank-1 trailing update restricted to the live region.
+            work[b0:, b0:, :] = work[b0:, b0:, :] - c * r
+            return 0
+
+        jax.lax.fori_loop(0, nb, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
@@ -106,40 +118,69 @@ def chol(A, interpret: bool | None = None):
 # ----------------------------------------------------------------- solve
 
 
-def _solve_kernel(l_ref, b_ref, x_ref, y_scr):
-    """Two triangular substitutions, vectorized over lanes.
+def _solve_kernel(l_ref, b_ref, x_ref, y_scr, c_scr):
+    """Blocked triangular substitutions, vectorized over lanes.
 
     y (forward pass) is kept in (1, n, LANES) layout so the row-dot in the
     forward substitution and the y-lookup in the backward substitution are
-    both transpose-free."""
+    both transpose-free. Per block, the contribution of already-solved
+    entries is applied once as a parallel contraction (c_scr); the
+    sequential inner loop then only dots over the block's columns."""
     n = l_ref.shape[0]
 
     y_scr[...] = jnp.zeros_like(y_scr[...])
 
-    # Forward: L y = b. acc = sum_j L[k, j] * y[j] (y[j >= k] still 0).
-    def fwd(k, _):
-        Lrow = l_ref[pl.ds(k, 1), :, :]            # (1, n, LANES)
-        dkk = l_ref[pl.ds(k, 1), pl.ds(k, 1), :]   # (1, 1, LANES)
-        acc = jnp.sum(Lrow * y_scr[...], axis=1, keepdims=True)
-        bk = b_ref[pl.ds(k, 1), :, :]              # (1, 1, LANES)
-        y_scr[:, pl.ds(k, 1), :] = (bk - acc) / dkk
-        return 0
+    # Forward: L y = b.
+    for b0 in range(0, n, NB):
+        nb = min(NB, n - b0)
+        if b0:
+            # corr[i] = sum_{j < b0} L[b0+i, j] * y[j]  (parallel)
+            Lblk = l_ref[b0:b0 + nb, 0:b0, :]          # (nb, b0, LANES)
+            corr = jnp.sum(Lblk * y_scr[:, 0:b0, :], axis=1)  # (nb, L)
+            c_scr[0, :nb, :] = corr
+        else:
+            c_scr[...] = jnp.zeros_like(c_scr[...])
 
-    jax.lax.fori_loop(0, n, fwd, 0)
+        def fwd(k, _, b0=b0, nb=nb):
+            kk = b0 + k
+            Lrow = l_ref[pl.ds(kk, 1), b0:b0 + nb, :]   # (1, nb, LANES)
+            dkk = l_ref[pl.ds(kk, 1), pl.ds(kk, 1), :]
+            acc = jnp.sum(Lrow * y_scr[:, b0:b0 + nb, :], axis=1,
+                          keepdims=True)
+            acc = acc + c_scr[:, pl.ds(k, 1), :]
+            bk = b_ref[pl.ds(kk, 1), :, :]
+            y_scr[:, pl.ds(kk, 1), :] = (bk - acc) / dkk
+            return 0
 
-    # Backward: L^T x = y. acc = sum_j L[j, k] * x[j] (x[j <= k] still 0).
+        jax.lax.fori_loop(0, nb, fwd, 0)
+
+    # Backward: L^T x = y.
     x_ref[...] = jnp.zeros_like(x_ref[...])
+    starts = list(range(0, n, NB))
+    for b0 in reversed(starts):
+        nb = min(NB, n - b0)
+        hi = b0 + nb
+        if hi < n:
+            # corr[i] = sum_{j >= hi} L[j, b0+i] * x[j]  (parallel)
+            Lblk = l_ref[hi:, b0:hi, :]                 # (n-hi, nb, LANES)
+            corr = jnp.sum(Lblk * x_ref[hi:, :, :], axis=0)  # (nb, L)
+            c_scr[0, :nb, :] = corr
+        else:
+            c_scr[...] = jnp.zeros_like(c_scr[...])
 
-    def bwd(i, _):
-        k = n - 1 - i
-        Lcol = l_ref[:, pl.ds(k, 1), :]            # (n, 1, LANES)
-        dkk = l_ref[pl.ds(k, 1), pl.ds(k, 1), :]
-        acc = jnp.sum(Lcol * x_ref[...], axis=0, keepdims=True)
-        yk = y_scr[:, pl.ds(k, 1), :]
-        x_ref[pl.ds(k, 1), :, :] = (yk - acc) / dkk
-        return 0
+        def bwd(i, _, b0=b0, nb=nb, hi=hi):
+            k = nb - 1 - i
+            kk = b0 + k
+            Lcol = l_ref[b0:hi, pl.ds(kk, 1), :]        # (nb, 1, LANES)
+            dkk = l_ref[pl.ds(kk, 1), pl.ds(kk, 1), :]
+            acc = jnp.sum(Lcol * x_ref[b0:hi, :, :], axis=0,
+                          keepdims=True)
+            acc = acc + c_scr[:, pl.ds(k, 1), :][:, 0, :][None]
+            yk = y_scr[:, pl.ds(kk, 1), :]
+            x_ref[pl.ds(kk, 1), :, :] = (yk - acc) / dkk
+            return 0
 
-    jax.lax.fori_loop(0, n, bwd, 0)
+        jax.lax.fori_loop(0, nb, bwd, 0)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
@@ -157,7 +198,10 @@ def _solve_pallas(L_t, b_t, interpret=False):
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((n, 1, LANES), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((1, n, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, n, LANES), jnp.float32),
+                        pltpu.VMEM((1, NB, LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(L_t, b_t)
 
