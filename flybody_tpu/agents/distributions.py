@@ -7,11 +7,16 @@ valued categorical (distributional critic head).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from flax import struct
 
-_HALF_LOG_2PI = 0.5 * jnp.log(2.0 * jnp.pi)
+# Plain-Python constant: module import must not touch any jax backend
+# (a module-scope jnp computation here initialized the TPU runtime before
+# callers could select the CPU platform for mesh dry runs).
+_HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
 
 
 @struct.dataclass

@@ -120,8 +120,13 @@ class DMPOLearner:
 
     # ------------------------------------------------------------------ step
 
-    def sgd_step(self, state: DMPOState, batch: Transition, rng):
-        """One learner step (reference learning_dmpo.py:169-317)."""
+    def sgd_step(self, state: DMPOState, batch: Transition, rng,
+                 axis_name: str | None = None):
+        """One learner step (reference learning_dmpo.py:169-317).
+
+        If `axis_name` is given, gradients are pmean'd over that mesh axis
+        (data-parallel learner; replaces the reference's single-GPU learner
+        + Ray variable distribution, train_dmpo_ray.py:188-194)."""
         cfg = self.config
         dtype = self.dtype
 
@@ -140,8 +145,12 @@ class DMPOLearner:
                                    flat_actions)
             logits_t = zt.logits.reshape(cfg.num_samples, -1,
                                          zt.logits.shape[-1])
-            # Mixture average in logit space (logsumexp - log N).
-            mix_logits = jax.nn.logsumexp(logits_t, axis=0) - jnp.log(
+            # Uniform mixture of the N sampled critic distributions: each
+            # sample must be normalized (log_softmax) BEFORE the logsumexp
+            # average, as in reference learning_dmpo.py:246-247 — raw-logit
+            # logsumexp would weight samples by their softmax normalizers.
+            mix_logits = jax.nn.logsumexp(
+                jax.nn.log_softmax(logits_t, axis=-1), axis=0) - jnp.log(
                 jnp.asarray(cfg.num_samples, dtype))
             values = zt.values
             z_p = batch.reward[:, None] + batch.discount[:, None] * values
@@ -172,6 +181,8 @@ class DMPOLearner:
             lambda p, c, d: loss_fn(p, c, d), argnums=(0, 1, 2),
             has_aux=True)(state.policy_params, state.critic_params,
                           state.dual_params)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
         gp, gc, gd = grads
 
         pu, new_popt = self.policy_optimizer.update(gp, state.policy_opt)

@@ -85,35 +85,55 @@ def sample(state: ReplayState, rng, batch_size: int):
     return new_state, batch
 
 
-def n_step_transitions(obs_flat, actions, rewards, discounts, n_step: int,
-                       gamma: float):
+def n_step_transitions(obs, next_obs, actions, rewards, discounts, dones,
+                       n_step: int, gamma: float):
     """Assemble overlapping n-step transitions from a rollout segment.
 
+    Windows never cross episode boundaries: like the reference's Acme
+    NStepTransitionAdder, a window starting at t stops accumulating at the
+    first step with done=True, so `next_obs` is the TERMINAL observation
+    (pre-reset) of that episode and the bootstrap discount carries the
+    terminal step's dm_env discount (0 on fatal termination, 1 on
+    timeout/good-end truncation, where bootstrapping from the terminal
+    observation is correct).
+
     Args:
-        obs_flat: (T+1, B, obs_dim) flat observations (o_0 .. o_T).
+        obs: (T, B, obs_dim) pre-step observations o_t (the obs the action
+            was computed from; post-reset at episode starts).
+        next_obs: (T, B, obs_dim) post-step observations o_{t+1} BEFORE any
+            auto-reset (terminal obs at done steps).
         actions: (T, B, act_dim).
         rewards: (T, B).
-        discounts: (T, B) per-step discounts (0 on fatal termination).
+        discounts: (T, B) per-step dm_env discounts.
+        dones: (T, B) bool, True at episode-ending steps.
         n_step: the N in N-step returns (reference DMPOConfig n_step=5).
         gamma: discount factor.
 
     Returns:
         Transition with leading dim (T - n_step + 1) * B: for each start t,
-        R = sum_k r_{t+k} * prod_{i<k}(gamma * d_{t+i}),
-        D = prod_k (gamma * d_{t+k}), next_obs = o_{t+n}.
+        with m = min(n, steps until first done inclusive),
+        R = sum_{k<m} r_{t+k} * prod_{i<k}(gamma * d_{t+i}),
+        D = prod_{k<m} (gamma * d_{t+k}), next_obs = o_{t+m}.
     """
     T = actions.shape[0]
     num = T - n_step + 1
     starts = jnp.arange(num)
 
     def make(t):
-        R = jnp.zeros(rewards.shape[1], rewards.dtype)
-        D = jnp.ones(rewards.shape[1], rewards.dtype)
+        B = rewards.shape[1]
+        R = jnp.zeros(B, rewards.dtype)
+        D = jnp.ones(B, rewards.dtype)
+        ended = jnp.zeros(B, bool)
+        next_o = next_obs[t]
         for k in range(n_step):
-            R = R + D * rewards[t + k]
-            D = D * gamma * discounts[t + k]
-        return Transition(obs=obs_flat[t], action=actions[t], reward=R,
-                          discount=D, next_obs=obs_flat[t + n_step])
+            active = ~ended
+            act_f = active.astype(rewards.dtype)
+            R = R + act_f * D * rewards[t + k]
+            D = D * jnp.where(active, gamma * discounts[t + k], 1.0)
+            next_o = jnp.where(active[:, None], next_obs[t + k], next_o)
+            ended = ended | dones[t + k]
+        return Transition(obs=obs[t], action=actions[t], reward=R,
+                          discount=D, next_obs=next_o)
 
     trans = jax.vmap(make)(starts)  # leading dims (num, B, ...)
     return Transition(*[x.reshape((-1,) + x.shape[2:]) for x in trans])

@@ -113,6 +113,19 @@ void* ftrj_open(const char* path) {
   ds->n_traj = n_traj;
   ds->dtype_id = dtype_id;
   ds->itemsize = dtype_id == 0 ? 4 : 8;
+  // Validate the declared header extent against the mapped size before
+  // dereferencing anything: a truncated/corrupt file must fail cleanly,
+  // not read out of bounds of the mmap.
+  uint64_t header_bytes = 32ull + 8ull * n_traj + 40ull * n_field +
+                          8ull * n_traj * n_field + 8ull;
+  if (n_traj == 0 || n_field == 0 || n_traj > (1u << 24) ||
+      n_field > (1u << 16) ||
+      header_bytes > static_cast<uint64_t>(st.st_size)) {
+    munmap(map, st.st_size);
+    ::close(fd);
+    delete ds;
+    return nullptr;
+  }
   p += 32;
   ds->lengths.resize(n_traj);
   memcpy(ds->lengths.data(), p, 8 * n_traj);
@@ -129,6 +142,29 @@ void* ftrj_open(const char* path) {
     ds->fields[i].offsets.resize(n_traj);
     memcpy(ds->fields[i].offsets.data(), p, 8 * n_traj);
     p += 8 * n_traj;
+  }
+  // Validate every trajectory block lies inside the file.
+  for (uint32_t i = 0; i < n_field; ++i) {
+    const Field& f = ds->fields[i];
+    if (f.width <= 0) {
+      munmap(map, st.st_size);
+      ::close(fd);
+      delete ds;
+      return nullptr;
+    }
+    for (uint32_t t = 0; t < n_traj; ++t) {
+      int64_t len = ds->lengths[t];
+      int64_t off = f.offsets[t];
+      uint64_t bytes = static_cast<uint64_t>(len) * f.width * ds->itemsize;
+      if (len < 0 || off < 0 ||
+          static_cast<uint64_t>(off) + bytes >
+              static_cast<uint64_t>(st.st_size)) {
+        munmap(map, st.st_size);
+        ::close(fd);
+        delete ds;
+        return nullptr;
+      }
+    }
   }
   int64_t json_len;
   memcpy(&json_len, ds->base + ds->size - 8, 8);
@@ -219,6 +255,12 @@ int ftrj_gather_padded(void* handle, const char* name, const int64_t* sel,
     int64_t len = ds->lengths[t];
     int64_t copy = len < t_max ? len : t_max;
     uint8_t* dst = dst_base + i * t_max * row;
+    if (copy <= 0) {
+      // Zero-length trajectory: there is no final frame to pad with —
+      // zero-fill instead of reading before the output buffer.
+      memset(dst, 0, t_max * row);
+      return;
+    }
     // pread into the destination: one syscall per block beats faulting
     // the mmap in page by page (cold files, sandboxed kernels).
     size_t want = copy * row;

@@ -53,11 +53,12 @@ def main(argv=None):
     rollout = jax.jit(lambda s, r: trainer._env_rollout(s, r))
     t_roll, roll_out = _time(rollout, state, jax.random.PRNGKey(1),
                              iters=args.iters)
-    (env_states, obs_flat, obs_all, act_seq, rew_seq, disc_seq,
-     done_seq) = roll_out
+    (env_states, obs_flat, obs_seq, next_obs_seq, act_seq, rew_seq,
+     disc_seq, done_seq) = roll_out
 
     nstep = jax.jit(lambda: replay_lib.n_step_transitions(
-        obs_all, act_seq, rew_seq, disc_seq, dcfg.n_step, dcfg.discount))
+        obs_seq, next_obs_seq, act_seq, rew_seq, disc_seq, done_seq,
+        dcfg.n_step, dcfg.discount))
     t_nstep, trans = _time(nstep, iters=args.iters)
 
     # Time K inserts inside one jitted scan so the buffer update can be

@@ -139,22 +139,21 @@ class DMPOTrainer:
 
             next_states = jax.tree.map(pick, reset_states, new_states)
             next_obs = pick(reset_obs, new_obs)
-            out = (obs_flat, actions, ts.reward.astype(self.dtype),
+            # Emit BOTH the pre-step obs (what the action was computed
+            # from) and the post-step pre-reset obs (the true o_{t+1};
+            # terminal obs at done steps) — n_step_transitions needs both
+            # to build correctly aligned (o_t, a_t, R, D, o_{t+m}) tuples.
+            out = (obs_flat, new_obs, actions,
+                   ts.reward.astype(self.dtype),
                    ts.discount.astype(self.dtype), done)
             return (next_states, next_obs), out
 
         rngs = jax.random.split(rng, T)
-        (env_states, obs_flat), (obs_seq, act_seq, rew_seq, disc_seq,
-                                 done_seq) = jax.lax.scan(
+        (env_states, obs_flat), (obs_seq, next_obs_seq, act_seq, rew_seq,
+                                 disc_seq, done_seq) = jax.lax.scan(
             body, (state.env_states, state.env_obs_flat), rngs)
-        # obs sequence needs o_0..o_T: prepend the initial obs. Note the
-        # post-reset obs at episode boundaries make the trailing n-step
-        # transitions of a finished episode slightly off; their discounts
-        # are zeroed at the boundary so the bootstrap is cut correctly.
-        obs_all = jnp.concatenate([state.env_obs_flat[None], obs_seq],
-                                  axis=0)
-        return (env_states, obs_flat, obs_all, act_seq, rew_seq, disc_seq,
-                done_seq)
+        return (env_states, obs_flat, obs_seq, next_obs_seq, act_seq,
+                rew_seq, disc_seq, done_seq)
 
     # ------------------------------------------------------------------ step
 
@@ -163,12 +162,12 @@ class DMPOTrainer:
         """One fused iteration: rollout -> insert -> learner steps."""
         cfg = self.config
         rng, r_roll, r_learn = jax.random.split(state.rng, 3)
-        (env_states, obs_flat, obs_all, act_seq, rew_seq, disc_seq,
-         done_seq) = self._env_rollout(state, r_roll)
+        (env_states, obs_flat, obs_seq, next_obs_seq, act_seq, rew_seq,
+         disc_seq, done_seq) = self._env_rollout(state, r_roll)
 
         trans = replay_lib.n_step_transitions(
-            obs_all, act_seq, rew_seq, disc_seq, cfg.dmpo.n_step,
-            cfg.dmpo.discount)
+            obs_seq, next_obs_seq, act_seq, rew_seq, disc_seq, done_seq,
+            cfg.dmpo.n_step, cfg.dmpo.discount)
         replay = replay_lib.insert(state.replay, trans)
 
         min_size = max(cfg.dmpo.batch_size,
@@ -235,80 +234,7 @@ class DMPOTrainer:
                               reward_sum=payload['reward_sum'])
 
     def _sgd(self, learner, batch, rng, axis_name):
-        if axis_name is None:
-            return self.learner.sgd_step(learner, batch, rng)
-        # Data-parallel: psum gradients over the mesh axis by wrapping the
-        # grad computation. We reuse sgd_step but with grads averaged via
-        # pmean inside loss (cheap trick: scale loss and psum grads).
-        # Simplest correct approach: compute the update locally and pmean
-        # the parameter deltas is wrong for Adam; instead pmean gradients.
-        return _sgd_step_pmean(self.learner, learner, batch, rng, axis_name)
-
-
-def _sgd_step_pmean(learner_obj: dmpo_lib.DMPOLearner, state, batch, rng,
-                    axis_name):
-    """sgd_step variant with gradients pmean'd over `axis_name`."""
-    self = learner_obj
-    cfg = self.config
-
-    def loss_fn(policy_params, critic_params, dual_params):
-        target_dist = self.policy.apply(state.target_policy_params,
-                                        batch.next_obs)
-        actions = target_dist.sample(rng, (cfg.num_samples,))
-        NB = cfg.num_samples * batch.next_obs.shape[0]
-        flat_actions = actions.reshape(NB, -1)
-        tiled_obs = jnp.tile(batch.next_obs, (cfg.num_samples, 1))
-        zt = self.critic.apply(state.target_critic_params, tiled_obs,
-                               flat_actions)
-        logits_t = zt.logits.reshape(cfg.num_samples, -1,
-                                     zt.logits.shape[-1])
-        mix_logits = jax.nn.logsumexp(logits_t, axis=0) - jnp.log(
-            jnp.asarray(cfg.num_samples, self.dtype))
-        values = zt.values
-        z_p = batch.reward[:, None] + batch.discount[:, None] * values
-        probs_t = jax.nn.softmax(mix_logits, axis=-1)
-        from flybody_tpu.agents.distributions import categorical_l2_project
-        proj = jax.lax.stop_gradient(
-            categorical_l2_project(z_p, probs_t, values))
-        online_z = self.critic.apply(critic_params, batch.obs, batch.action)
-        critic_loss = -jnp.mean(
-            jnp.sum(proj * jax.nn.log_softmax(online_z.logits, -1), -1))
-        q_values = zt.mean().reshape(cfg.num_samples, -1)
-        online_dist = self.policy.apply(policy_params, batch.next_obs)
-        from flybody_tpu.agents import mpo as mpo_lib
-        policy_loss, stats = mpo_lib.mpo_loss(
-            dual_params, online_dist, target_dist, actions, q_values,
-            epsilon=cfg.epsilon, epsilon_mean=cfg.epsilon_mean,
-            epsilon_stddev=cfg.epsilon_stddev,
-            epsilon_penalty=cfg.epsilon_penalty,
-            penalization_cost=self.penalization_cost)
-        stats['critic_loss'] = critic_loss
-        return critic_loss + policy_loss, stats
-
-    grads, stats = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
-        state.policy_params, state.critic_params, state.dual_params)
-    grads = jax.lax.pmean(grads, axis_name)
-    gp, gc, gd = grads
-    import optax
-    pu, new_popt = self.policy_optimizer.update(gp, state.policy_opt)
-    cu, new_copt = self.critic_optimizer.update(gc, state.critic_opt)
-    du, new_dopt = self.dual_optimizer.update(gd, state.dual_opt)
-    from flybody_tpu.agents import mpo as mpo_lib
-    policy_params = optax.apply_updates(state.policy_params, pu)
-    critic_params = optax.apply_updates(state.critic_params, cu)
-    dual_params = mpo_lib.clip_params(
-        optax.apply_updates(state.dual_params, du))
-    steps = state.steps + 1
-    tp = jax.tree.map(
-        lambda new, old: jnp.where(
-            steps % cfg.target_policy_update_period == 0, new, old),
-        policy_params, state.target_policy_params)
-    tc = jax.tree.map(
-        lambda new, old: jnp.where(
-            steps % cfg.target_critic_update_period == 0, new, old),
-        critic_params, state.target_critic_params)
-    return dmpo_lib.DMPOState(
-        policy_params=policy_params, critic_params=critic_params,
-        target_policy_params=tp, target_critic_params=tc,
-        dual_params=dual_params, policy_opt=new_popt, critic_opt=new_copt,
-        dual_opt=new_dopt, steps=steps), stats
+        # axis_name=None: single-chip; otherwise gradients are pmean'd
+        # over the mesh axis inside the learner step.
+        return self.learner.sgd_step(learner, batch, rng,
+                                     axis_name=axis_name)
