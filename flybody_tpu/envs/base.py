@@ -77,6 +77,8 @@ class FruitFlyEnv:
                  solver_iterations: int = 10,
                  ls_iterations: int = 8,
                  ncon_max: int = 64,
+                 refactor_period: int = 1,
+                 noslip_contacts: int | None = None,
                  extra_observables=()):
         # Ensure all model leaves are jnp arrays (not numpy) so functional
         # code can use .at[] updates uniformly.
@@ -92,7 +94,9 @@ class FruitFlyEnv:
         self.max_steps = int(round(time_limit / control_timestep))
         self.engine_kwargs = dict(solver_iterations=solver_iterations,
                                   ls_iterations=ls_iterations,
-                                  ncon_max=ncon_max)
+                                  ncon_max=ncon_max,
+                                  refactor_period=refactor_period,
+                                  noslip_contacts=noslip_contacts)
         self.extra_observables = tuple(extra_observables)
 
     # ---------------------------------------------------------------- hooks

@@ -206,6 +206,66 @@ def _solve_pallas(L_t, b_t, interpret=False):
     )(L_t, b_t)
 
 
+# ------------------------------------------ fused factor + solve kernel
+
+
+def _chol_solve_kernel(a_ref, b_ref, l_ref, x_ref, work, y_scr, c_scr):
+    """Factor A = L L^T and solve L L^T x = b in one VMEM-resident pass
+    (the factor never round-trips to HBM between the two phases)."""
+    _chol_kernel(a_ref, l_ref, work)
+    _solve_kernel(l_ref, b_ref, x_ref, y_scr, c_scr)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def _chol_solve_pallas(A_t, b_t, interpret=False):
+    n = A_t.shape[0]
+    B = A_t.shape[-1]
+    grid = (B // LANES,)
+    return pl.pallas_call(
+        _chol_solve_kernel,
+        out_shape=(jax.ShapeDtypeStruct((n, n, B), A_t.dtype),
+                   jax.ShapeDtypeStruct((n, 1, B), A_t.dtype)),
+        grid=grid,
+        in_specs=[pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((n, 1, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((n, 1, LANES), lambda i: (0, 0, i),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((n, n, LANES), jnp.float32),
+                        pltpu.VMEM((1, n, LANES), jnp.float32),
+                        pltpu.VMEM((1, NB, LANES), jnp.float32)],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(A_t, b_t)
+
+
+def chol_solve(A, b, interpret: bool | None = None):
+    """Batched fused Cholesky factor + solve: returns (L, x) with
+    A = L L^T and A x = b, for (B, n, n) PSD matrices."""
+    if interpret is None and not _use_pallas():
+        L = jnp.linalg.cholesky(A)
+        import jax.scipy.linalg as jsl
+        return L, jsl.cho_solve((L, True), b[..., None])[..., 0]
+    B, n, _ = A.shape
+    pad = (-B) % LANES
+    A_t = jnp.moveaxis(A, 0, -1)
+    b_t = jnp.moveaxis(b, 0, -1)[:, None, :]
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype)[:, :, None],
+                               (n, n, pad))
+        A_t = jnp.concatenate([A_t, eye], axis=-1)
+        b_t = jnp.concatenate(
+            [b_t, jnp.zeros((n, 1, pad), b.dtype)], axis=-1)
+    L_t, x_t = _chol_solve_pallas(A_t, b_t, interpret=bool(interpret))
+    return (jnp.moveaxis(L_t[..., :B], -1, 0),
+            jnp.moveaxis(x_t[:, 0, :B], -1, 0))
+
+
 # ------------------------------------------------- per-env (vmap) wrappers
 #
 # The engine is written per-env and jax.vmap'ed over the batch. These
@@ -247,6 +307,29 @@ def _cho_solve_pe_vmap(axis_size, in_batched, L, b):
                      0 if in_batched[1] else None))(L, b)
         return out, True
     return cho_solve(L, b), True
+
+
+@custom_batching.custom_vmap
+def chol_solve_pe(A, b):
+    """(n, n), (n,) -> (L, x) fused factor+solve; pallas-batched under
+    vmap on TPU."""
+    import jax.scipy.linalg as jsl
+    L = jnp.linalg.cholesky(A)
+    return L, jsl.cho_solve((L, True), b[..., None])[..., 0]
+
+
+@chol_solve_pe.def_vmap
+def _chol_solve_pe_vmap(axis_size, in_batched, A, b):
+    del axis_size
+    if not (in_batched[0] and in_batched[1]):  # pragma: no cover
+        import jax.scipy.linalg as jsl
+        out = jax.vmap(
+            lambda a, r: ((L := jnp.linalg.cholesky(a)),
+                          jsl.cho_solve((L, True), r[..., None])[..., 0]),
+            in_axes=(0 if in_batched[0] else None,
+                     0 if in_batched[1] else None))(A, b)
+        return out, (True, True)
+    return chol_solve(A, b), (True, True)
 
 
 def cho_solve(L, b, interpret: bool | None = None):

@@ -246,8 +246,55 @@ def _combine_params(model: FlyModel, g1: np.ndarray, g2: np.ndarray):
 
 
 # -----------------------------------------------------------------------------
-# Analytic narrowphase. All handlers return (dist (P,k), pos (P,k,3),
-# normal (P,k,3)) with k = _PAIR_NCON of the pair type.
+# Analytic narrowphase. All handlers take a PairGeo of pre-gathered per-pair
+# geometry and return (dist (P,k), pos (P,k,3), normal (P,k,3)) with
+# k = _PAIR_NCON of the pair type.
+#
+# Gather discipline (measured on v5e at batch 8192): a traced row gather
+# costs ~8-25 ms while a single static gather of a CONCATENATED
+# [xpos | xmat] table costs ~2-4 ms and a one-hot matmul gather ~2.7 ms.
+# So collide() builds one (ngeom, 12) table per env and every group does
+# exactly one static gather per side; the MPR broadphase path gathers its
+# top-P candidates with one-hot matmuls on the MXU.
+
+
+class PairGeo(NamedTuple):
+    """Per-pair gathered geometry for one candidate group (P pairs)."""
+
+    pos1: jax.Array  # (P, 3)
+    mat1: jax.Array  # (P, 3, 3)
+    size1: jax.Array  # (P, 3)
+    mg1: jax.Array  # (P,)
+    pos2: jax.Array  # (P, 3)
+    mat2: jax.Array  # (P, 3, 3)
+    size2: jax.Array  # (P, 3)
+    mg2: jax.Array  # (P,)
+
+
+def _geom_cat(data: Data) -> jax.Array:
+    """Concatenated per-geom pose table [xpos | xmat rows]: (ngeom, 12)."""
+    n = data.geom_xpos.shape[0]
+    return jnp.concatenate(
+        [data.geom_xpos, data.geom_xmat.reshape(n, 9)], axis=-1)
+
+
+def _split_cat(c):
+    """(P, 12) -> pos (P, 3), mat (P, 3, 3)."""
+    return c[:, :3], c[:, 3:12].reshape(-1, 3, 3)
+
+
+def _gather_group(model: FlyModel, gcat: jax.Array, g1, g2) -> PairGeo:
+    """One static gather per side from the concatenated pose table."""
+    c1 = gcat[jnp.asarray(g1)]
+    c2 = gcat[jnp.asarray(g2)]
+    pos1, mat1 = _split_cat(c1)
+    pos2, mat2 = _split_cat(c2)
+    size = jnp.asarray(model.geom_size)
+    mg = jnp.asarray(model.geom_margin)
+    return PairGeo(pos1=pos1, mat1=mat1, size1=size[np.asarray(g1)],
+                   mg1=mg[np.asarray(g1)],
+                   pos2=pos2, mat2=mat2, size2=size[np.asarray(g2)],
+                   mg2=mg[np.asarray(g2)])
 
 
 def _plane_sphere(pp, pn, c, r):
@@ -257,33 +304,30 @@ def _plane_sphere(pp, pn, c, r):
         pn[:, None], pos[:, None].shape)
 
 
-def _h_plane_sphere(model, data, g1, g2):
-    pp = data.geom_xpos[g1]
-    pn = data.geom_xmat[g1][:, :, 2]
-    c = data.geom_xpos[g2]
-    r = model.geom_size[g2][:, 0]
-    return _plane_sphere(pp, pn, c, r)
+def _h_plane_sphere(pg: PairGeo):
+    return _plane_sphere(pg.pos1, pg.mat1[:, :, 2], pg.pos2,
+                         pg.size2[:, 0])
 
 
-def _h_plane_capsule(model, data, g1, g2):
-    pp = data.geom_xpos[g1]
-    pn = data.geom_xmat[g1][:, :, 2]
-    c = data.geom_xpos[g2]
-    axis = data.geom_xmat[g2][:, :, 2]
-    r = model.geom_size[g2][:, 0]
-    h = model.geom_size[g2][:, 1]
+def _h_plane_capsule(pg: PairGeo):
+    pp = pg.pos1
+    pn = pg.mat1[:, :, 2]
+    c = pg.pos2
+    axis = pg.mat2[:, :, 2]
+    r = pg.size2[:, 0]
+    h = pg.size2[:, 1]
     d1, p1, n1 = _plane_sphere(pp, pn, c + h[:, None] * axis, r)
     d2, p2, n2 = _plane_sphere(pp, pn, c - h[:, None] * axis, r)
     return (jnp.concatenate([d1, d2], 1), jnp.concatenate([p1, p2], 1),
             jnp.concatenate([n1, n2], 1))
 
 
-def _h_plane_ellipsoid(model, data, g1, g2):
-    pp = data.geom_xpos[g1]
-    pn = data.geom_xmat[g1][:, :, 2]
-    c = data.geom_xpos[g2]
-    R = data.geom_xmat[g2]
-    size = model.geom_size[g2]
+def _h_plane_ellipsoid(pg: PairGeo):
+    pp = pg.pos1
+    pn = pg.mat1[:, :, 2]
+    c = pg.pos2
+    R = pg.mat2
+    size = pg.size2
     nl = jnp.einsum('pij,pi->pj', R, pn)  # R^T n
     denom = jnp.linalg.norm(size * nl, axis=-1, keepdims=True)
     x_local = -(size * size * nl) / jnp.maximum(denom, 1e-15)
@@ -294,16 +338,16 @@ def _h_plane_ellipsoid(model, data, g1, g2):
         pn[:, None], pos[:, None].shape)
 
 
-def _h_plane_cylinder(model, data, g1, g2):
+def _h_plane_cylinder(pg: PairGeo):
     """Plane-cylinder: 2 side-line contacts when lying, else 3 lower-cap rim
     candidates at azimuths (deepest, ±120°). Matches observed MuJoCo
     behavior; non-penetrating candidates are masked by dist."""
-    pp = data.geom_xpos[g1]
-    n = data.geom_xmat[g1][:, :, 2]
-    c = data.geom_xpos[g2]
-    a = data.geom_xmat[g2][:, :, 2]
-    r = model.geom_size[g2][:, 0:1]
-    h = model.geom_size[g2][:, 1:2]
+    pp = pg.pos1
+    n = pg.mat1[:, :, 2]
+    c = pg.pos2
+    a = pg.mat2[:, :, 2]
+    r = pg.size2[:, 0:1]
+    h = pg.size2[:, 1:2]
     ca = jnp.einsum('pi,pi->p', a, n)[:, None]  # cos(axis, normal)
 
     # Rim mode: lower cap center and in-disk downhill direction.
@@ -311,7 +355,7 @@ def _h_plane_cylinder(model, data, g1, g2):
     u = n - ca * a  # component of n in disk plane (points uphill)
     un = jnp.linalg.norm(u, axis=-1, keepdims=True)
     u = jnp.where(un > 1e-12, u / jnp.maximum(un, 1e-15),
-                  data.geom_xmat[g2][:, :, 0])
+                  pg.mat2[:, :, 0])
     w = jnp.cross(a, u)
     deep = lower - r * u
     rim2 = lower - r * (-0.5 * u + 0.866025403784439 * w)
@@ -347,18 +391,18 @@ def _sphere_sphere(c1, r1, c2, r2):
     return dist[:, None], pos[:, None], n[:, None]
 
 
-def _h_sphere_sphere(model, data, g1, g2):
-    return _sphere_sphere(data.geom_xpos[g1], model.geom_size[g1][:, 0],
-                          data.geom_xpos[g2], model.geom_size[g2][:, 0])
+def _h_sphere_sphere(pg: PairGeo):
+    return _sphere_sphere(pg.pos1, pg.size1[:, 0], pg.pos2,
+                          pg.size2[:, 0])
 
 
-def _h_sphere_capsule(model, data, g1, g2):
-    c1 = data.geom_xpos[g1]
-    r1 = model.geom_size[g1][:, 0]
-    c2 = data.geom_xpos[g2]
-    a = data.geom_xmat[g2][:, :, 2]
-    r2 = model.geom_size[g2][:, 0]
-    h = model.geom_size[g2][:, 1]
+def _h_sphere_capsule(pg: PairGeo):
+    c1 = pg.pos1
+    r1 = pg.size1[:, 0]
+    c2 = pg.pos2
+    a = pg.mat2[:, :, 2]
+    r2 = pg.size2[:, 0]
+    h = pg.size2[:, 1]
     t = jnp.clip(jnp.einsum('pi,pi->p', c1 - c2, a), -h, h)
     closest = c2 + t[:, None] * a
     return _sphere_sphere(c1, r1, closest, r2)
@@ -384,15 +428,15 @@ def _seg_seg_closest(p1, d1, h1, p2, d2, h2):
     return p1 + s[:, None] * d1, p2 + t[:, None] * d2
 
 
-def _h_capsule_capsule(model, data, g1, g2):
-    c1 = data.geom_xpos[g1]
-    a1 = data.geom_xmat[g1][:, :, 2]
-    r1 = model.geom_size[g1][:, 0]
-    h1 = model.geom_size[g1][:, 1]
-    c2 = data.geom_xpos[g2]
-    a2 = data.geom_xmat[g2][:, :, 2]
-    r2 = model.geom_size[g2][:, 0]
-    h2 = model.geom_size[g2][:, 1]
+def _h_capsule_capsule(pg: PairGeo):
+    c1 = pg.pos1
+    a1 = pg.mat1[:, :, 2]
+    r1 = pg.size1[:, 0]
+    h1 = pg.size1[:, 1]
+    c2 = pg.pos2
+    a2 = pg.mat2[:, :, 2]
+    r2 = pg.size2[:, 0]
+    h2 = pg.size2[:, 1]
     q1, q2 = _seg_seg_closest(c1, a1, h1, c2, a2, h2)
     # Coincident closest points (crossing segments): fall back to a
     # perpendicular of the first axis.
@@ -412,18 +456,13 @@ def _mpr_handler(t1, t2):
     # polish after MPR; cylinder edges are non-smooth, so they do not.
     smooth_pair = _s.GEOM_CYLINDER not in (t1, t2)
 
-    def h(model, data, g1, g2):
+    def h(pg: PairGeo):
         # Under vmap on TPU this dispatches the VMEM-resident pallas MPR
         # kernel (ops/mpr_kernel.py); otherwise the plain jnp MPR runs.
         from flybody_tpu.ops import mpr_kernel as _mprk
         f = _mprk.make_mpr_pe(t1, t2, 8 if smooth_pair else 0)
-        dist, n, pos = f(
-            data.geom_xpos[g1], data.geom_xmat[g1],
-            jnp.asarray(model.geom_size)[g1],
-            jnp.asarray(model.geom_margin)[g1],
-            data.geom_xpos[g2], data.geom_xmat[g2],
-            jnp.asarray(model.geom_size)[g2],
-            jnp.asarray(model.geom_margin)[g2])
+        dist, n, pos = f(pg.pos1, pg.mat1, pg.size1, pg.mg1,
+                         pg.pos2, pg.mat2, pg.size2, pg.mg2)
         return dist[:, None], pos[:, None], n[:, None]
     return h
 
@@ -446,28 +485,45 @@ def _handler(key):
 MPR_TOP_P = 128
 
 
-def _mpr_topp(model: FlyModel, data: Data, key, g1, g2):
+def _mpr_topp(model: FlyModel, data: Data, key, g1, g2,
+              gcat: jax.Array | None = None):
     """Bounding-sphere broadphase + gathered MPR narrowphase.
 
     Pairs further apart than their bounding spheres (+ margins) cannot
     contact; only the MPR_TOP_P closest run the iterative narrowphase.
+    All traced-index gathers/scatters are one-hot matmuls (MXU) — a
+    traced row gather costs ~3x more at batch (measured v5e).
     """
     dtype = data.qpos.dtype
-    c1 = data.geom_xpos[g1]
-    c2 = data.geom_xpos[g2]
-    rb = model.geom_rbound.astype(dtype)
-    mg = model.geom_margin.astype(dtype)
-    d_bound = (jnp.linalg.norm(c2 - c1, axis=-1)
-               - rb[g1] - rb[g2] - mg[g1] - mg[g2])
-    _, idx = jax.lax.top_k(-d_bound, MPR_TOP_P)
-    tg1 = jnp.asarray(g1)[idx]
-    tg2 = jnp.asarray(g2)[idx]
-    # Traced gather indices require jnp model fields (the model may hold
-    # numpy arrays in host-side tests).
-    model = model.replace(geom_size=jnp.asarray(model.geom_size),
-                          geom_margin=jnp.asarray(model.geom_margin))
-    d, p, n = _handler(key)(model, data, tg1, tg2)  # (P, 1, ...)
-    oh = jax.nn.one_hot(idx, len(g1), dtype=dtype)  # (P, P_all)
+    if gcat is None:
+        gcat = _geom_cat(data)
+    P_all = len(g1)
+    c1_all = gcat[jnp.asarray(g1)]  # (P_all, 12) static gather
+    c2_all = gcat[jnp.asarray(g2)]
+    rb = jnp.asarray(model.geom_rbound).astype(dtype)
+    mg = jnp.asarray(model.geom_margin).astype(dtype)
+    d_bound = (jnp.linalg.norm(c2_all[:, :3] - c1_all[:, :3], axis=-1)
+               - rb[np.asarray(g1)] - rb[np.asarray(g2)]
+               - mg[np.asarray(g1)] - mg[np.asarray(g2)])
+    P = min(MPR_TOP_P, P_all)
+    _, idx = jax.lax.top_k(-d_bound, P)
+    oh = jax.nn.one_hot(idx, P_all, dtype=dtype)  # (P, P_all)
+
+    # Candidate geometry via one-hot matmul gathers.
+    c1 = oh @ c1_all
+    c2 = oh @ c2_all
+    pos1, mat1 = _split_cat(c1)
+    pos2, mat2 = _split_cat(c2)
+    sz = jnp.asarray(model.geom_size)
+    smcat1 = jnp.concatenate(
+        [sz[np.asarray(g1)], mg[np.asarray(g1)][:, None]], -1)  # static
+    smcat2 = jnp.concatenate(
+        [sz[np.asarray(g2)], mg[np.asarray(g2)][:, None]], -1)
+    s1 = oh @ smcat1.astype(dtype)
+    s2 = oh @ smcat2.astype(dtype)
+    pg = PairGeo(pos1=pos1, mat1=mat1, size1=s1[:, :3], mg1=s1[:, 3],
+                 pos2=pos2, mat2=mat2, size2=s2[:, :3], mg2=s2[:, 3])
+    d, p, n = _handler(key)(pg)  # (P, 1, ...)
     covered = jnp.sum(oh, axis=0)  # (P_all,)
     d_full = oh.T @ d[:, 0] + 1e10 * (1.0 - covered)
     p_full = oh.T @ p[:, 0]
@@ -487,6 +543,7 @@ def collide(model: FlyModel, data: Data,
     meta = model.meta
     tb = pair_tables(meta)
     dtype = data.qpos.dtype
+    gcat = _geom_cat(data)
 
     dists, poss, normals = [], [], []
     for key, (g1, g2, k) in tb['groups'].items():
@@ -495,9 +552,9 @@ def collide(model: FlyModel, data: Data,
             # only on the MPR_TOP_P closest pairs by bounding-sphere
             # distance; the rest are provably separated this step. Results
             # scatter back to their static slots with a one-hot matmul.
-            d, p, n = _mpr_topp(model, data, key, g1, g2)
+            d, p, n = _mpr_topp(model, data, key, g1, g2, gcat=gcat)
         else:
-            d, p, n = _handler(key)(model, data, g1, g2)
+            d, p, n = _handler(key)(_gather_group(model, gcat, g1, g2))
         dists.append(d.reshape(-1))
         poss.append(p.reshape(-1, 3))
         normals.append(n.reshape(-1, 3))

@@ -80,6 +80,8 @@ def fwd(model: FlyModel, data: Data,
         solver_iterations: int = 15,
         ls_iterations: int = 10,
         noslip_iterations: int | None = None,
+        noslip_contacts: int | None = None,
+        refactor_period: int = 1,
         use_contacts: bool = True,
         terrain=None) -> Data:
     """Forward dynamics: fills everything including qacc (mj_forward).
@@ -136,16 +138,19 @@ def fwd(model: FlyModel, data: Data,
     qacc, qfrc_con, f_l, f_c = _sol.solve(
         model, data, efc, a_free, iterations=solver_iterations,
         ls_iterations=ls_iterations,
-        warmstart=data.qacc if data.qacc is not None else None)
+        warmstart=data.qacc if data.qacc is not None else None,
+        refactor_period=refactor_period)
     niter = (meta.noslip_iterations if noslip_iterations is None
              else noslip_iterations)
     if niter > 0:
         qacc, f_c = _sol.noslip(model, data, efc, qacc, f_c,
-                                iterations=niter)
-        qfrc_con = (jax.nn.one_hot(jnp.asarray(efc.lim_dof), meta.nv,
-                                   dtype=dtype).T
-                    @ (f_l * jnp.asarray(efc.lim_sign, dtype))
-                    + jnp.einsum('krv,kr->v', efc.con_J, f_c))
+                                iterations=niter,
+                                max_contacts=noslip_contacts)
+        lim_dof_idx, lim_sign_st, _ = _sol._limit_tables(meta)
+        qfrc_con = (jnp.zeros(meta.nv, dtype)
+                    .at[lim_dof_idx]
+                    .add(f_l * jnp.asarray(lim_sign_st, dtype))
+                    + efc.con_JT @ f_c.reshape(-1))
 
     # Self-contact force magnitude sum (observable; fruitfly.py:687-704).
     selfmask = jnp.asarray(_self_pair_mask(meta, terrain_on), dtype)

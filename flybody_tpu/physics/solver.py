@@ -79,6 +79,9 @@ class EfcRows(NamedTuple):
 
     # Contacts (top-K gathered).
     con_J: jax.Array  # (K, 3, nv) rows: normal, tangent1, tangent2
+    con_JT: jax.Array  # (nv, 3K) transposed rows, materialized once so
+    # the Newton loop's J^T f and J^T (HJ) products are native GEMMs with
+    # no per-iteration transposes
     con_active: jax.Array  # (K,)
     con_frictional: jax.Array  # (K,) 1 if condim >= 3
     con_mu: jax.Array  # (K,)
@@ -170,29 +173,59 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
     _, sel = jax.lax.top_k(neg, k)
     sel = sel.astype(jnp.int32)
 
-    c_dist = con.dist[sel]
-    c_margin = params.margin.astype(dtype)[sel]
-    c_incl = params.includemargin.astype(dtype)[sel]
+    # All per-slot lookups ride TWO one-hot matmuls (traced row gathers
+    # cost ~8-25 ms each at batch 8192 on v5e; a fused (K, S) one-hot
+    # contraction over a concatenated table is ~2-3 ms total):
+    #   bcat: batched per-slot state [dist | pos | normal]      (S, 7)
+    #   ucat: unbatched per-slot constants                       (S, 13)
+    oh = jax.nn.one_hot(sel, score.shape[0], dtype=dtype)  # (K, S)
+    bcat = jnp.concatenate([con.dist[:, None], con.pos, con.normal], -1)
+    bsel = oh @ bcat  # (K, 7)
+    c_dist = bsel[:, 0]
+    c_pos = bsel[:, 1:4]
+    c_n_raw = bsel[:, 4:7]
+
+    # Static per-slot constants, incl. precomputed contact-space diagonal
+    # invweight (inv1[b1] + inv1[b2] is a pure slot constant).
+    inv1 = jnp.asarray(model.body_invweight0).astype(dtype)[:, 0]
+    sbody1 = np.asarray(tb['slot_body1'])
+    sbody2 = np.asarray(tb['slot_body2'])
+    diag_slot = inv1[sbody1] + inv1[sbody2]  # (S,)
+    ucat = jnp.concatenate([
+        params.includemargin.astype(dtype)[:, None],
+        params.friction.astype(dtype)[:, :1],
+        params.solref.astype(dtype),
+        params.solimp.astype(dtype),
+        jnp.asarray(tb['slot_condim'], dtype)[:, None],
+        diag_slot[:, None],
+    ], -1)  # (S, 11)
+    usel = oh @ ucat
+    c_incl = usel[:, 0]
+    c_mu = usel[:, 1]
+    c_solref = usel[:, 2:4]
+    c_solimp = usel[:, 4:9]
+    condim = usel[:, 9]
+    diag_c = usel[:, 10]
     c_active = c_dist < c_incl
-    c_pos = con.pos[sel]
-    c_n = con.normal[sel]
-    c_mu = params.friction.astype(dtype)[sel][:, 0]
-    c_solref = params.solref.astype(dtype)[sel]
-    c_solimp = params.solimp.astype(dtype)[sel]
-    condim = jnp.asarray(tb['slot_condim'], jnp.int32)[sel]
-    body1 = jnp.asarray(tb['slot_body1'], jnp.int32)[sel]
-    body2 = jnp.asarray(tb['slot_body2'], jnp.int32)[sel]
+    # Dead slots (uncovered when S < K never happens here, but top_k padding
+    # with separated pairs still yields valid unit normals from collide()).
+    c_n = c_n_raw
 
     # Contact frame rows and Jacobian.
     t1, t2 = make_frame(c_n)
     frame = jnp.stack([c_n, t1, t2], axis=1)  # (K, 3, 3)
-    # Jacobian difference needs static body indices; they are traced here
-    # (gathered), so compute via one-hot instead of numpy indexing.
-    meta_nbody = meta.nbody
-    onehot2 = jax.nn.one_hot(body2, meta_nbody, dtype=dtype)
-    onehot1 = jax.nn.one_hot(body1, meta_nbody, dtype=dtype)
-    mask = model.body_dof_mask.astype(dtype)
-    w = (onehot2 - onehot1) @ mask  # (K, nv)
+    # Jacobian difference: per-slot dof-mask difference is a static
+    # (S, nv) table; gather it through the same one-hot contraction...
+    # at nv=108 wide that GEMM is too large, so instead use small
+    # one-hot body matmuls: (K, nbody)(nbody, nv).
+    w_slot_b1 = oh @ jnp.asarray(sbody1, dtype)[:, None]
+    w_slot_b2 = oh @ jnp.asarray(sbody2, dtype)[:, None]
+    body1 = w_slot_b1[:, 0].astype(jnp.int32)
+    body2 = w_slot_b2[:, 0].astype(jnp.int32)
+    mask = jnp.asarray(model.body_dof_mask).astype(dtype)
+    oh_b1 = jax.nn.one_hot(body1, meta.nbody, dtype=dtype)
+    oh_b2 = jax.nn.one_hot(body2, meta.nbody, dtype=dtype)
+    w = (oh_b2 - oh_b1) @ mask  # (K, nv)
     root = np.array(meta.body_rootid)
     dof_body = np.array(meta.dof_bodyid)
     ref = data.subtree_com[root[dof_body]]
@@ -201,17 +234,22 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
     arm = c_pos[:, None, :] - ref[None, :, :]
     contrib = lin[None] + jnp.cross(ang[None], arm)  # (K, nv, 3)
     Jp = contrib * w[:, :, None]  # (K, nv, 3)
-    con_J = jnp.einsum('krj,kvj->krv', frame, Jp)  # (K, 3, nv)
+    # frame @ Jp^T per contact via broadcast mul+sum (tiny batched
+    # matmuls serialize on the MXU).
+    con_J = jnp.sum(frame[:, :, None, :] * Jp[:, None, :, :],
+                    axis=-1)  # (K, 3, nv)
+    # Transposed layout, built once here so every J^T product in the
+    # Newton iterations is a native GEMM (no per-iteration transposes of
+    # the (3K, nv) row block).
+    con_JT = con_J.reshape(-1, meta.nv).T  # (nv, 3K)
 
     # aref / D.
     r_c = c_dist - c_incl
     K_c, B_c, imp_c = kbi(c_solref, c_solimp, r_c)
-    vel_c = jnp.einsum('krv,v->kr', con_J, data.qvel)
+    vel_c = (con_J.reshape(-1, meta.nv) @ data.qvel).reshape(-1, 3)
     aref_n = -B_c * vel_c[:, 0] - K_c * imp_c * r_c
     aref_t = -B_c[:, None] * vel_c[:, 1:]
     con_aref = jnp.concatenate([aref_n[:, None], aref_t], axis=1)
-    inv1 = model.body_invweight0.astype(dtype)[:, 0]
-    diag_c = onehot1 @ inv1 + onehot2 @ inv1
     R_c = jnp.maximum((1.0 - imp_c) / imp_c * diag_c, 1e-12)
     con_D = 1.0 / R_c
 
@@ -219,7 +257,7 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
         lim_dof=lim_dof, lim_sign=lim_sign,
         lim_active=lim_active.astype(dtype),
         lim_aref=aref, lim_D=lim_D, lim_pos=dist,
-        con_J=con_J, con_active=c_active.astype(dtype),
+        con_J=con_J, con_JT=con_JT, con_active=c_active.astype(dtype),
         con_frictional=(condim >= 3).astype(dtype),
         con_mu=c_mu, con_aref=con_aref, con_D=con_D, con_pos=c_dist,
         con_sel=sel,
@@ -305,8 +343,9 @@ def _constraint_cost_grad_hess(efc: EfcRows, x, qvel_dummy=None):
     jar_l = x[efc.lim_dof] * jnp.asarray(efc.lim_sign, x.dtype) - efc.lim_aref
     act_l = efc.lim_active * (jar_l < 0)
     f_l = -efc.lim_D * jar_l * act_l  # row force (>= 0)
-    # Contacts.
-    jar_c = jnp.einsum('krv,v->kr', efc.con_J, x) - efc.con_aref
+    # Contacts: jar = Jx - aref as one (3K, nv) matvec.
+    K = efc.con_J.shape[0]
+    jar_c = (efc.con_J.reshape(3 * K, -1) @ x).reshape(K, 3) - efc.con_aref
     res = _cone_residual(jar_c, efc.con_mu, efc.con_frictional,
                          efc.con_active)
     f_c = -efc.con_D[:, None] * res
@@ -320,7 +359,8 @@ def _primal_cost(efc: EfcRows, M, a_free, x):
     jar_l = x[efc.lim_dof] * jnp.asarray(efc.lim_sign, x.dtype) - efc.lim_aref
     act_l = efc.lim_active * (jar_l < 0)
     cost = cost + 0.5 * jnp.sum(efc.lim_D * act_l * jar_l ** 2)
-    jar_c = jnp.einsum('krv,v->kr', efc.con_J, x) - efc.con_aref
+    K = efc.con_J.shape[0]
+    jar_c = (efc.con_J.reshape(3 * K, -1) @ x).reshape(K, 3) - efc.con_aref
     res = _cone_residual(jar_c, efc.con_mu, efc.con_frictional,
                          efc.con_active)
     cost = cost + 0.5 * jnp.sum(efc.con_D[:, None] * res ** 2)
@@ -329,50 +369,73 @@ def _primal_cost(efc: EfcRows, M, a_free, x):
 
 def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
           iterations: int = 15, ls_iterations: int = 10,
-          warmstart: jax.Array | None = None):
+          warmstart: jax.Array | None = None,
+          refactor_period: int = 1):
     """Newton solve for qacc; returns (qacc, qfrc_constraint, efc forces).
 
     `a_free` is the unconstrained acceleration M^{-1} qfrc_smooth.
     `warmstart` (optional): previous step's qacc; the starting point is
     whichever of (warmstart, a_free) has lower primal cost — MuJoCo's
     mj_warmstart semantics.
+
+    `refactor_period`: 1 (default) = exact Newton, a fresh Hessian
+    assembly + factorization every iteration (MuJoCo semantics). p > 1 =
+    only every p-th iteration refreshes the factor; in between, steps
+    reuse the last Cholesky factor and skip Hessian assembly entirely
+    (the cone Hessian only changes when contacts switch projection
+    zones, which is rare after the first warmstarted iterations). The
+    stale-factor direction -L^-T L^-1 g stays a descent direction (L is
+    SPD) and the exact line search keeps global convergence; the batched
+    108x108 factorization is the single most expensive op in the engine,
+    so this roughly halves (p=2) the Newton loop cost for a small loss
+    in per-iteration contraction.
     """
     dtype = data.qpos.dtype
     nv = model.meta.nv
     M = data.qM
 
     lim_sign = jnp.asarray(efc.lim_sign, dtype)
-    lim_onehot = jax.nn.one_hot(jnp.asarray(efc.lim_dof), nv, dtype=dtype)
+
+    K = efc.con_J.shape[0]
+    J2 = efc.con_J.reshape(3 * K, nv)  # (3K, nv)
+    JT = efc.con_JT  # (nv, 3K), built once in make_efc
+
+    # Static limit-row dof/sign tables from the model (efc.lim_dof may be
+    # traced if EfcRows crossed a jit boundary; traced index gathers are
+    # ~3x slower than static ones on TPU).
+    lim_dof_idx, lim_sign_st, _ = _limit_tables(model.meta)
+    efc = efc._replace(lim_dof=lim_dof_idx, lim_sign=lim_sign_st)
 
     def grad_and_hess(x):
         jar_l, f_l, jar_c, f_c = _constraint_cost_grad_hess(efc, x)
-        # Gradient: M(x - a_free) - J^T f.
+        # Gradient: M(x - a_free) - J^T f (JT GEMV, no transpose). Limit
+        # rows each touch ONE dof, so J_lim^T f is a static scatter-add,
+        # not an (nv, L) matmul.
         g = M @ (x - a_free)
-        g = g - lim_onehot.T @ (f_l * lim_sign)
-        g = g - jnp.einsum('krv,kr->v', efc.con_J, f_c)
-        # Hessian: M + J^T D H J + limit diag.
+        g = g.at[lim_dof_idx].add(-f_l * lim_sign)
+        g = g - JT @ f_c.reshape(3 * K)
+        # Hessian: M + J^T D H J + limit diag (a pure diagonal: one dof
+        # per limit row).
         act_l = efc.lim_active * (jar_l < 0)
         hd = efc.lim_D * act_l
+        hd_dof = jnp.zeros(nv, dtype).at[lim_dof_idx].add(hd)
         Hc = _cone_hessian(jar_c, efc.con_mu, efc.con_frictional,
                            efc.con_active) * efc.con_D[:, None, None]
-        JH = jnp.einsum('krs,ksv->krv', Hc, efc.con_J)
-        H = M + jnp.einsum('krv,krw->vw', efc.con_J, JH)
-        H = H + lim_onehot.T @ (hd[:, None] * lim_onehot)
+        # (Hc J) via broadcast mul+sum (tiny batched 3x3 matmuls
+        # serialize on the MXU); the outer product is one native GEMM.
+        JH = jnp.sum(Hc[:, :, :, None] * efc.con_J[:, None, :, :], axis=2)
+        H = M + JT @ JH.reshape(3 * K, nv)
+        H = H + jnp.diag(hd_dof)
         return g, H
 
-    x = a_free
-    if warmstart is not None:
-        c_ws = _primal_cost(efc, M, a_free, warmstart)
-        c_af = _primal_cost(efc, M, a_free, a_free)
-        x = jnp.where(c_ws < c_af, warmstart, a_free)
+    def grad_only(x):
+        _, f_l, _, f_c = _constraint_cost_grad_hess(efc, x)
+        g = M @ (x - a_free)
+        g = g.at[lim_dof_idx].add(-f_l * lim_sign)
+        g = g - JT @ f_c.reshape(3 * K)
+        return g
 
-    def newton_step(carry):
-        x, it, g0n = carry
-        g, H = grad_and_hess(x)
-        from flybody_tpu.ops import cholesky as _pchol
-        L = _pchol.chol_pe(H + 1e-12 * jnp.eye(nv, dtype=dtype))
-        dx = -_pchol.cho_solve_pe(L, g)
-
+    def line_search(x, dx):
         # Precompute directional quantities once: along dx, phi'(alpha) and
         # phi''(alpha) are pure per-row functions of jar0 + alpha*jv (the
         # same trick MuJoCo's Newton line search uses) — the line-search
@@ -383,8 +446,8 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         jar0_l = (x[efc.lim_dof] * jnp.asarray(efc.lim_sign, dtype)
                   - efc.lim_aref)
         jv_l = dx[efc.lim_dof] * jnp.asarray(efc.lim_sign, dtype)
-        jar0_c = jnp.einsum('krv,v->kr', efc.con_J, x) - efc.con_aref
-        jv_c = jnp.einsum('krv,v->kr', efc.con_J, dx)
+        jar0_c = (J2 @ x).reshape(K, 3) - efc.con_aref
+        jv_c = (J2 @ dx).reshape(K, 3)
 
         def slope_at(a):
             jar_l = jar0_l + a * jv_l
@@ -430,36 +493,81 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         alpha = 0.5 * (lo + hi)
         # Guard: never take an uphill step.
         s0, _ = slope_at(jnp.zeros_like(alpha))
-        alpha = jnp.where(s0 < 0, alpha, jnp.zeros_like(alpha))
-        gnorm = jnp.linalg.norm(g)
-        g0n = jnp.where(it == 0, gnorm, g0n)
-        return x + alpha * dx, it + 1, g0n
+        return jnp.where(s0 < 0, alpha, jnp.zeros_like(alpha))
+
+    x = a_free
+    if warmstart is not None:
+        c_ws = _primal_cost(efc, M, a_free, warmstart)
+        c_af = _primal_cost(efc, M, a_free, a_free)
+        x = jnp.where(c_ws < c_af, warmstart, a_free)
+
+    from flybody_tpu.ops import cholesky as _pchol
+    eye = jnp.eye(nv, dtype=dtype)
+
+    def fresh_step(x):
+        """Newton step with fresh Hessian assembly + fused factor/solve."""
+        g, H = grad_and_hess(x)
+        L, sol = _pchol.chol_solve_pe(H + 1e-12 * eye, g)
+        dx = -sol
+        return x + line_search(x, dx) * dx, L
+
+    def reuse_step(x, L):
+        """Newton step reusing the last factor: gradient + substitution
+        only (no Hessian assembly, no factorization)."""
+        g = grad_only(x)
+        dx = -_pchol.cho_solve_pe(L, g)
+        return x + line_search(x, dx) * dx
 
     # NOTE: a tolerance-based lax.while_loop would let warm-started envs
     # exit early, but a pallas custom-call inside a batched while_loop
-    # faults the TPU runtime (observed 2026-08-16); fixed trip count.
-    x, _, _ = jax.lax.fori_loop(
-        0, iterations, lambda i, c: newton_step(c),
-        (x, jnp.zeros((), jnp.int32), jnp.zeros((), dtype)))
+    # faults the TPU runtime (observed 2026-08-16); fixed trip counts.
+    p = max(1, refactor_period)
+    if p == 1:
+        x = jax.lax.fori_loop(0, iterations,
+                              lambda i, xx: fresh_step(xx)[0], x)
+    else:
+        # Blocks of [fresh, (p-1) x reuse]; tail block truncated.
+        def block(reuse_n):
+            def body(i, xx):
+                xx, Lb = fresh_step(xx)
+                for _ in range(reuse_n):
+                    xx = reuse_step(xx, Lb)
+                return xx
+            return body
+        nblocks, tail = divmod(iterations, p)
+        if nblocks:
+            x = jax.lax.fori_loop(0, nblocks, block(p - 1), x)
+        if tail:
+            x = block(tail - 1)(0, x)
 
     jar_l, f_l, jar_c, f_c = _constraint_cost_grad_hess(efc, x)
-    qfrc = lim_onehot.T @ (f_l * lim_sign) + jnp.einsum(
-        'krv,kr->v', efc.con_J, f_c)
+    qfrc = (jnp.zeros(nv, dtype).at[lim_dof_idx].add(f_l * lim_sign)
+            + efc.con_JT @ f_c.reshape(-1))
     return x, qfrc, f_l, f_c
 
 
 def noslip(model: FlyModel, data: Data, efc: EfcRows, qacc: jax.Array,
-           f_c: jax.Array, iterations: int = 3):
+           f_c: jax.Array, iterations: int = 3,
+           max_contacts: int | None = None):
     """Noslip post-processing (mj noslip solver).
 
     Gauss-Seidel sweeps over the friction rows of active elliptic contacts,
     solving the unregularized (R=0) subproblem for tangential forces with
     normal forces held fixed, clamping to the friction cone. Matches
     MuJoCo's noslip_iterations semantics (fruitfly.xml:4 sets 3).
+
+    `max_contacts`: restrict the sweep to the first N contact slots. The
+    top-K selection in make_efc sorts contacts by (dist - includemargin),
+    so active contacts form a prefix of the slots; with the walking scene
+    peaking at ~9 active contacts (measured), a prefix of 16 covers the
+    active set while cutting the M^{-1} J_t^T solve (the dominant cost
+    here) proportionally. None = all slots (exact MuJoCo semantics).
     """
     dtype = qacc.dtype
     K = efc.con_J.shape[0]
-    Jt = efc.con_J[:, 1:, :]  # (K, 2, nv) tangent rows
+    if max_contacts is not None and max_contacts < K:
+        K = max_contacts
+    Jt = efc.con_J[:K, 1:, :]  # (K, 2, nv) tangent rows
     # P_k = M^{-1} J_t_k^T via the cached Cholesky factor.
     from flybody_tpu.physics import smooth as _sm
     Pt = _sm.solve_m(model, data, Jt.reshape(K * 2, -1).T)  # (nv, 2K)
@@ -475,17 +583,18 @@ def noslip(model: FlyModel, data: Data, efc: EfcRows, qacc: jax.Array,
                     jnp.where(det >= 0, 1e-12, -1e-12))
     Ainv = jnp.stack([jnp.stack([d_, -b_], -1),
                       jnp.stack([-c_, a], -1)], -2) / det[:, None, None]
-    aref_t = efc.con_aref[:, 1:]
-    use = (efc.con_active * efc.con_frictional) > 0
+    aref_t = efc.con_aref[:K, 1:]
+    use = (efc.con_active[:K] * efc.con_frictional[:K]) > 0
 
     # Friction-circle radii (normal forces held fixed).
-    lim = jnp.maximum(efc.con_mu * f_c[:, 0], 0.0)
-    ft0 = f_c[:, 1:]
+    lim = jnp.maximum(efc.con_mu[:K] * f_c[:K, 0], 0.0)
+    ft0 = f_c[:K, 1:]
 
     # The sequential GS sweeps run in a VMEM-resident pallas kernel when
     # vmapped on TPU (ops/noslip_gs.py); plain scan otherwise.
     from flybody_tpu.ops import noslip_gs as _ngs
     x, ft = _ngs.make_gs_pe(iterations)(
         Jt, Pt, Ainv, aref_t, lim, use.astype(dtype), qacc, ft0)
-    f_c_new = jnp.concatenate([f_c[:, :1], ft], axis=1)
+    ft_full = jnp.concatenate([ft, f_c[K:, 1:]], axis=0)
+    f_c_new = jnp.concatenate([f_c[:, :1], ft_full], axis=1)
     return x, f_c_new

@@ -88,7 +88,8 @@ def main(argv=None):
                 lambda dd: col._mpr_topp(model, dd, key, g1, g2)))
         else:
             h = col._handler(key)
-            fn = jax.jit(jax.vmap(lambda dd: h(model, dd, g1, g2)))
+            fn = jax.jit(jax.vmap(lambda dd: h(col._gather_group(
+                model, col._geom_cat(dd), g1, g2))))
         results[f'collide {key} n={len(g1)}'] = _time(
             fn, d_pos, iters=args.iters)
 
@@ -175,7 +176,7 @@ def main(argv=None):
         d_fac, efc, a_free, iters=max(2, args.iters // 3))
     results['noslip 3'] = _time(
         jax.jit(jax.vmap(lambda dd, e, af: solver.noslip(
-            model, dd, e, af, jnp.zeros_like(e.con_aref),
+            model, dd, e, af, 0.0 * e.con_aref,
             iterations=3))),
         d_fac, efc, a_free, iters=max(2, args.iters // 3))
 
