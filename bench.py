@@ -31,13 +31,26 @@ def main():
 
     from flybody_tpu.envs import fly_envs
 
+    # Perf configuration (overridable for A/B runs): 32 contact slots
+    # cover the walking scene's ~9 active contacts with 3.5x headroom;
+    # refactor_period=2 refreshes the Newton Hessian factor every other
+    # iteration; noslip runs on the 16 deepest slots.
+    ncon = int(os.environ.get('BENCH_NCON', 32))
+    refactor = int(os.environ.get('BENCH_REFACTOR', 2))
+    noslip_con = int(os.environ.get('BENCH_NOSLIP_CON', 16))
     if task == 'flight_imitation':
         env = fly_envs.flight_imitation(functional=True,
                                         solver_iterations=6,
-                                        ls_iterations=6)
+                                        ls_iterations=6,
+                                        ncon_max=ncon,
+                                        refactor_period=refactor,
+                                        noslip_contacts=noslip_con)
     else:
         env = fly_envs.walk_imitation(functional=True, solver_iterations=8,
-                                      ls_iterations=6)
+                                      ls_iterations=6,
+                                      ncon_max=ncon,
+                                      refactor_period=refactor,
+                                      noslip_contacts=noslip_con)
 
     # Cast to float32 for the TPU compute path.
     def to_f32(x):

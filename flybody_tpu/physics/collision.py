@@ -481,16 +481,21 @@ def _handler(key):
     }[key]
 
 
-# Number of closest pairs (by bounding sphere) sent to MPR per group.
-MPR_TOP_P = 128
+# Number of closest pairs (by bounding sphere) run through narrowphase for
+# large groups. A random-action walking rollout peaks at 27 bound-active
+# pairs in the largest group (capsule-ellipsoid), so 64 has >2x headroom.
+MPR_TOP_P = 64
 
 
 def _mpr_topp(model: FlyModel, data: Data, key, g1, g2,
               gcat: jax.Array | None = None):
-    """Bounding-sphere broadphase + gathered MPR narrowphase.
+    """Bounding-sphere broadphase + gathered narrowphase (top-P pairs).
 
     Pairs further apart than their bounding spheres (+ margins) cannot
-    contact; only the MPR_TOP_P closest run the iterative narrowphase.
+    contact; only the MPR_TOP_P closest run the (possibly iterative)
+    narrowphase. Used for every single-contact group bigger than the
+    budget — including analytic capsule-capsule, where skipping ~15/16
+    of the provably separated pairs beats evaluating them.
     All traced-index gathers/scatters are one-hot matmuls (MXU) — a
     traced row gather costs ~3x more at batch (measured v5e).
     """
@@ -547,7 +552,7 @@ def collide(model: FlyModel, data: Data,
 
     dists, poss, normals = [], [], []
     for key, (g1, g2, k) in tb['groups'].items():
-        if key in _MPR_PAIRS and len(g1) > MPR_TOP_P:
+        if k == 1 and key[0] != _s.GEOM_PLANE and len(g1) > MPR_TOP_P:
             # Broadphase for the expensive iterative narrowphase: run MPR
             # only on the MPR_TOP_P closest pairs by bounding-sphere
             # distance; the rest are provably separated this step. Results

@@ -83,7 +83,7 @@ def main(argv=None):
 
     # --- collide per group.
     for key, (g1, g2, k) in tb['groups'].items():
-        if key in col._MPR_PAIRS and len(g1) > col.MPR_TOP_P:
+        if k == 1 and key[0] != 0 and len(g1) > col.MPR_TOP_P:
             fn = jax.jit(jax.vmap(
                 lambda dd: col._mpr_topp(model, dd, key, g1, g2)))
         else:

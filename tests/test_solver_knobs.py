@@ -1,0 +1,85 @@
+"""Perf-knob quality: the fast solver configuration (ncon_max=32,
+refactor_period=2, noslip prefix) must track the exact configuration.
+
+The bench/training configs trade exact-Newton semantics for speed; these
+tests bound the trajectory divergence so a knob regression (e.g. dropped
+contacts) is caught by CI rather than a training collapse.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flybody_tpu.envs import fly_envs
+from flybody_tpu.physics import collision as col
+from flybody_tpu.physics import engine
+from flybody_tpu.physics.state import make_data
+
+
+@pytest.fixture(scope='module')
+def model():
+    m = fly_envs._walking_model(False, True, 0.01)
+    return m
+
+
+def _settle(model, z=0.12):
+    data = make_data(model)
+    data = data.replace(qpos=data.qpos.at[2].set(z))
+    return data
+
+
+def _rollout(model, data, steps, **kwargs):
+    # First step fills the optional Data fields (contact, qacc, ...) so
+    # the scan carry structure is stable.
+    data = engine.step(model, data, **kwargs)
+
+    def body(d, _):
+        d = engine.step(model, d, **kwargs)
+        return d, None
+    d, _ = jax.lax.scan(body, data, None, length=steps - 1)
+    return d
+
+
+def test_refactor_period_solver_accuracy(model):
+    """Per-solve accuracy: from identical contact-rich states, the
+    stale-factor config's qacc must track a fully converged Newton
+    solution. (Trajectory comparisons would conflate solver error with
+    chaos amplification through impacts.)"""
+    d0 = _settle(model)
+    # Roll into a contact-rich state with the fast config.
+    d = _rollout(model, d0, 30, solver_iterations=8, ls_iterations=6,
+                 refactor_period=2)
+    ref = engine.fwd(model, d, solver_iterations=25, ls_iterations=12,
+                     noslip_iterations=0)
+    fast = engine.fwd(model, d, solver_iterations=8, ls_iterations=6,
+                      refactor_period=2, noslip_iterations=0)
+    scale = np.abs(np.asarray(ref.qacc)).max()
+    err = np.abs(np.asarray(fast.qacc) - np.asarray(ref.qacc)).max()
+    assert err / scale < 5e-3, (err, scale)
+
+
+def test_ncon32_and_noslip_prefix_solver_accuracy(model):
+    d0 = _settle(model)
+    d = _rollout(model, d0, 30, solver_iterations=8, ls_iterations=6)
+    ref = engine.fwd(model, d, solver_iterations=25, ls_iterations=12)
+    fast = engine.fwd(model, d, solver_iterations=8, ls_iterations=6,
+                      ncon_max=32, noslip_contacts=16)
+    scale = np.abs(np.asarray(ref.qacc)).max()
+    err = np.abs(np.asarray(fast.qacc) - np.asarray(ref.qacc)).max()
+    assert err / scale < 5e-3, (err, scale)
+
+
+def test_active_contacts_fit_k32(model):
+    """The standing scene's active contact count stays well under the 32
+    slots the perf config allocates."""
+    d0 = _settle(model)
+    d = _rollout(model, d0, 30, solver_iterations=8, ls_iterations=6)
+    from flybody_tpu.physics import kinematics as kin
+    d2, ja, jx = kin.kinematics(model, d)
+    d2 = kin.com_pos(model, d2, ja, jx)
+    con = col.collide(model, d2)
+    params = col.slot_params(model)
+    n_active = int(np.sum(np.asarray(con.dist)
+                          < np.asarray(params.includemargin)))
+    assert n_active <= 24, n_active
