@@ -98,6 +98,13 @@ class FruitFlyEnv:
                                   refactor_period=refactor_period,
                                   noslip_contacts=noslip_contacts)
         self.extra_observables = tuple(extra_observables)
+        # Optional per-substep control callback (the functional analogue
+        # of MuJoCo's mjcb_control, reference template_task.py:48 and
+        # tests/test_core.py:72-103): called with (model, data) at the
+        # START of every physics substep, returning an updated Data —
+        # typically with qfrc_applied/xfrc_applied set from the previous
+        # substep's forward quantities (matching mjcb_control's view).
+        self.control_callback = None
 
     # ---------------------------------------------------------------- hooks
 
@@ -148,15 +155,43 @@ class FruitFlyEnv:
         model = self.model
         kw = self.engine_kwargs
 
-        def body(carry, _):
-            d = carry
+        if self.control_callback is None:
+            def body(carry, _):
+                d = carry
+                out = engine.step(model, d, terrain=terrain, **kw)
+                sens = jnp.concatenate(
+                    [out.sensordata, out.self_contact_force[None]])
+                return out.strip(), sens
+
+            data = data.replace(ctrl=ctrl)
+            data, sens = jax.lax.scan(body, data, length=self.n_sub)
+            return data, jnp.mean(sens, axis=0)
+
+        # With a control callback the carry additionally threads the
+        # previous substep's qfrc_actuator (the view mjcb_control has of
+        # mjData at the top of mj_forward) and qfrc_applied must be
+        # array-shaped from the start for a stable scan structure.
+        def body_cb(carry, _):
+            d, prev_qfrc_act = carry
+            d = self.control_callback(
+                model, d.replace(qfrc_actuator=prev_qfrc_act))
+            d = d.replace(qfrc_actuator=None)
             out = engine.step(model, d, terrain=terrain, **kw)
             sens = jnp.concatenate(
                 [out.sensordata, out.self_contact_force[None]])
-            return out.strip(), sens
+            return (out.strip(), out.qfrc_actuator), sens
 
-        data = data.replace(ctrl=ctrl)
-        data, sens = jax.lax.scan(body, data, length=self.n_sub)
+        prev = (data.qfrc_actuator if data.qfrc_actuator is not None
+                else jnp.zeros_like(data.qvel))
+        data = data.replace(
+            ctrl=ctrl,
+            qfrc_actuator=None,
+            qfrc_applied=(data.qfrc_applied
+                          if data.qfrc_applied is not None
+                          else jnp.zeros_like(data.qvel)))
+        (data, qfrc_act), sens = jax.lax.scan(
+            body_cb, (data, prev), length=self.n_sub)
+        data = data.replace(qfrc_actuator=qfrc_act)
         return data, jnp.mean(sens, axis=0)
 
     def _fk(self, data: Data) -> Data:

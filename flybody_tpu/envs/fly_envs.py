@@ -226,14 +226,21 @@ def template_task(force_actuators: bool = False,
                   adhesion_filter: float = 0.007,
                   time_limit: float = 1.0,
                   action_corruptor=None,
+                  control_callback=None,
                   functional: bool = False,
                   seed: int | None = None,
                   **env_kwargs):
-    """No-op walking task for testing (reference fly_envs.py:249-300)."""
+    """No-op walking task for testing (reference fly_envs.py:249-300).
+
+    `control_callback(model, data) -> data` is the functional analogue of
+    the reference's `mjcb_control` (reference fly_envs.py:255-296): it
+    runs at the start of every physics substep and may inject
+    qfrc_applied / xfrc_applied."""
     model = _walking_model(force_actuators, disable_wings, joint_filter,
                            adhesion_filter)
     env = TemplateEnv(model, time_limit=time_limit,
-                      action_corruptor=action_corruptor, **env_kwargs)
+                      action_corruptor=action_corruptor,
+                      control_callback=control_callback, **env_kwargs)
     if functional:
         return env
     return DmFlyEnv(env, _with_extras(WALK_OBS, env_kwargs), seed=seed)

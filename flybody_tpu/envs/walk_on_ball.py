@@ -21,11 +21,13 @@ class TemplateEnv(envbase.FruitFlyEnv):
     (reference template_task.py:12-101)."""
 
     def __init__(self, model: FlyModel, time_limit: float = 1.0,
-                 action_corruptor=None, **kwargs):
+                 action_corruptor=None, control_callback=None, **kwargs):
         super().__init__(model, control_timestep=2e-3,
                          physics_timestep=2e-4, time_limit=time_limit,
                          **kwargs)
         self.action_corruptor = action_corruptor
+        # Per-substep physics hook (mjcb_control analogue).
+        self.control_callback = control_callback
 
     def _before_step(self, state, action):
         if self.action_corruptor is not None:

@@ -36,6 +36,11 @@ def main(argv=None):
     p.add_argument('--iters', type=int, default=50)
     p.add_argument('--cpu', action='store_true')
     p.add_argument('--task', default='walk_imitation')
+    p.add_argument('--iters-solver', type=int, default=8)
+    p.add_argument('--iters-ls', type=int, default=6)
+    p.add_argument('--ncon', type=int, default=32)
+    p.add_argument('--refactor', type=int, default=2)
+    p.add_argument('--noslip-con', type=int, default=16)
     args = p.parse_args(argv)
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
@@ -102,8 +107,13 @@ def main(argv=None):
     def s_factor(d):
         return jax.vmap(lambda dd: sm.factor_m(model, dd))(d)
 
+    ekw = dict(solver_iterations=args.iters_solver,
+               ls_iterations=args.iters_ls, ncon_max=args.ncon,
+               refactor_period=args.refactor,
+               noslip_contacts=args.noslip_con)
+
     def s_full(d):
-        return jax.vmap(lambda dd: engine.step(model, dd))(d)
+        return jax.vmap(lambda dd: engine.step(model, dd, **ekw))(d)
 
     # Build the chained inputs once.
     j_kin = jax.jit(s_kin)
@@ -130,12 +140,113 @@ def main(argv=None):
     results['factor_m(chol)'] = _time(jax.jit(s_factor), d_crb,
                                       iters=args.iters)
 
+    # Deep stages: solver / noslip / sensors / euler, chained off a full
+    # smooth+efc precompute so each is timed in isolation.
+    from flybody_tpu.physics import sensors as _sens
+    from flybody_tpu.ops import cholesky as _pchol
+
+    def prep(d):
+        def one(dd):
+            dd, ja, jx = kin.kinematics(model, dd)
+            dd = kin.com_pos(model, dd, ja, jx)
+            dd = kin.tendon(model, dd)
+            con = col.collide(model, dd)
+            dd = sm.com_vel(model, dd)
+            dd = sm.tendon_vel(model, dd)
+            efc = solver.make_efc(model, dd, con,
+                                  ncon_max=args.ncon)
+            dd = sm.actuation(model, dd)
+            dd = sm.crb(model, dd)
+            dd = sm.rne(model, dd)
+            dd = sm.passive(model, dd)
+            dd = fl.fluid(model, dd)
+            qfrc_smooth = (dd.qfrc_passive + dd.qfrc_fluid
+                           + dd.qfrc_actuator - dd.qfrc_bias)
+            dd = dd.replace(qfrc_smooth=qfrc_smooth)
+            dd = sm.factor_m(model, dd)
+            a_free = sm.solve_m(model, dd, qfrc_smooth)
+            return dd, efc, a_free
+        return jax.vmap(one)(d)
+
+    d_prep, efc_prep, afree_prep = jax.jit(prep)(d0)
+
+    def s_solve(arg):
+        dd, efc, a_free = arg
+        return jax.vmap(
+            lambda d1, e1, a1: solver.solve(
+                model, d1, e1, a1, iterations=args.iters_solver,
+                ls_iterations=args.iters_ls,
+                refactor_period=args.refactor)[0])(dd, efc, a_free)
+
+    qacc_prep = jax.jit(s_solve)((d_prep, efc_prep, afree_prep))
+
+    def s_noslip(arg):
+        dd, efc, qacc = arg
+        zero_f = jnp.zeros(efc.con_J.shape[:2] + (3,), qacc.dtype)
+        return jax.vmap(
+            lambda d1, e1, q1, f1: solver.noslip(
+                model, d1, e1, q1, f1,
+                iterations=3, max_contacts=args.noslip_con)[0])(
+                    dd, efc, qacc, zero_f)
+
+    def s_sensors(arg):
+        dd, efc, qacc = arg
+        return jax.vmap(
+            lambda d1, e1, q1: _sens.sensordata(
+                model, d1.replace(qacc=q1), e1,
+                jnp.zeros((e1.con_J.shape[0], 3), q1.dtype)))(
+                    dd, efc, qacc)
+
+    def s_euler(arg):
+        dd, qacc = arg
+        return jax.vmap(
+            lambda d1, q1: sm.euler(
+                model, d1.replace(
+                    qacc=q1,
+                    qfrc_constraint=jnp.zeros_like(q1))).qpos)(dd, qacc)
+
+    results['solver(newton)'] = _time(jax.jit(s_solve),
+                                      (d_prep, efc_prep, afree_prep),
+                                      iters=max(5, args.iters // 5))
+    results['noslip'] = _time(jax.jit(s_noslip),
+                              (d_prep, efc_prep, qacc_prep),
+                              iters=max(5, args.iters // 5))
+    results['sensors'] = _time(jax.jit(s_sensors),
+                               (d_prep, efc_prep, qacc_prep),
+                               iters=args.iters)
+    results['euler'] = _time(jax.jit(s_euler), (d_prep, qacc_prep),
+                             iters=args.iters)
+
+    # Kernel micro-benches on live Hessian-like matrices.
+    H = d_prep.qM
+    g = afree_prep
+
+    def k_factor(h):
+        return jax.vmap(_pchol.chol_pe)(h)
+
+    def k_solve(arg):
+        l, b = arg
+        return jax.vmap(_pchol.cho_solve_pe)(l, b)
+
+    def k_fused(arg):
+        h, b = arg
+        return jax.vmap(_pchol.chol_solve_pe)(h, b)[1]
+
+    L_prep = jax.jit(k_factor)(H)
+    results['[chol factor]'] = _time(jax.jit(k_factor), H,
+                                     iters=args.iters)
+    results['[chol solve-1rhs]'] = _time(jax.jit(k_solve), (L_prep, g),
+                                         iters=args.iters)
+    results['[chol fused f+s]'] = _time(jax.jit(k_fused), (H, g),
+                                        iters=args.iters)
+
     # Solver: needs the full smooth pipeline; time fwd-minus-pieces via
     # the full step and report it as the residual.
     t_full = _time(jax.jit(s_full), d0, iters=max(5, args.iters // 5))
     results['FULL step'] = t_full
 
-    total_known = sum(v for k, v in results.items() if k != 'FULL step')
+    total_known = sum(v for k, v in results.items()
+                      if k != 'FULL step' and not k.startswith('['))
     print(f'\nbatch={B} platform={jax.devices()[0].platform} '
           f'({args.iters} iters)')
     print(f'{"stage":<18} {"ms":>9} {"% of step":>10}')
