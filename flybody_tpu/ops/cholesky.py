@@ -22,6 +22,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -29,10 +30,8 @@ LANES = 128
 
 
 def _use_pallas():
-    try:
-        return jax.default_backend() == 'tpu'
-    except RuntimeError:  # pragma: no cover
-        return False
+    from flybody_tpu.ops.dispatch import pallas_enabled
+    return pallas_enabled('chol')
 
 
 # ---------------------------------------------------------------- factor
@@ -206,6 +205,120 @@ def _solve_pallas(L_t, b_t, interpret=False):
     )(L_t, b_t)
 
 
+# ------------------------------------------------- multi-RHS solve kernel
+#
+# For m right-hand sides the sequential column loop's per-step vector work
+# is (m, n, LANES) — large enough to amortize the per-column slicing
+# overhead that dominates the single-RHS kernel. Layout: rhs/solution as
+# (m, n, LANES). Forward substitution needs no masking (unsolved rows of y
+# are still zero); backward substitution avoids column slices of L by
+# accumulating each solved row's contribution to all remaining rows via a
+# row-broadcast running correction.
+
+
+def _solve_multi_kernel(l_ref, b_ref, x_ref, y_scr, c_scr):
+    n = l_ref.shape[0]
+
+    # Forward: L y = b. y[j >= k] is zero until solved, so the full-row
+    # dot needs no mask.
+    y_scr[...] = jnp.zeros_like(y_scr[...])
+
+    def fwd(k, _):
+        row = l_ref[pl.ds(k, 1), :, :]               # (1, n, LANES)
+        dkk = l_ref[pl.ds(k, 1), pl.ds(k, 1), :]     # (1, 1, LANES)
+        acc = jnp.sum(row * y_scr[...], axis=1, keepdims=True)  # (m,1,L)
+        bk = b_ref[:, pl.ds(k, 1), :]
+        y_scr[:, pl.ds(k, 1), :] = (bk - acc) / dkk
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd, 0)
+
+    # Backward: L^T x = y. After solving x[k], push its contribution
+    # L[k, j] * x[k] onto all remaining rows j < k (row k of L is a cheap
+    # leading-dim slice; column slices of L are not).
+    c_scr[...] = jnp.zeros_like(c_scr[...])
+
+    def bwd(i, _):
+        k = n - 1 - i
+        dkk = l_ref[pl.ds(k, 1), pl.ds(k, 1), :]
+        yk = y_scr[:, pl.ds(k, 1), :]
+        ck = c_scr[:, pl.ds(k, 1), :]
+        xk = (yk - ck) / dkk                          # (m, 1, LANES)
+        x_ref[:, pl.ds(k, 1), :] = xk
+        row = l_ref[pl.ds(k, 1), :, :]                # (1, n, LANES)
+        c_scr[...] = c_scr[...] + row * xk
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd, 0)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def _solve_multi_pallas(L_t, b_t, interpret=False):
+    """L_t: (n, n, B); b_t: (m, n, B) -> x (m, n, B)."""
+    n = L_t.shape[0]
+    m = b_t.shape[0]
+    B = L_t.shape[-1]
+    grid = (B // LANES,)
+    return pl.pallas_call(
+        _solve_multi_kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n, B), L_t.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((m, n, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((m, n, LANES), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m, n, LANES), jnp.float32),
+                        pltpu.VMEM((m, n, LANES), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(L_t, b_t)
+
+
+def cho_solve_multi(L, Bmat, interpret: bool | None = None):
+    """Batched multi-RHS solve: L L^T X = Bmat.
+
+    L: (B, n, n) lower factors; Bmat: (B, n, m) -> X (B, n, m)."""
+    if interpret is None and not _use_pallas():
+        import jax.scipy.linalg as jsl
+        return jsl.cho_solve((L, True), Bmat)
+    B, n, _ = L.shape
+    m = Bmat.shape[-1]
+    pad = (-B) % LANES
+    L_t = jnp.moveaxis(L, 0, -1)                      # (n, n, B)
+    b_t = jnp.transpose(Bmat, (2, 1, 0))              # (m, n, B)
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype)[:, :, None],
+                               (n, n, pad))
+        L_t = jnp.concatenate([L_t, eye], axis=-1)
+        b_t = jnp.concatenate(
+            [b_t, jnp.zeros((m, n, pad), Bmat.dtype)], axis=-1)
+    x_t = _solve_multi_pallas(L_t, b_t, interpret=bool(interpret))
+    return jnp.transpose(x_t[..., :B], (2, 1, 0))     # (B, n, m)
+
+
+@custom_batching.custom_vmap
+def cho_solve_multi_pe(L, Bmat):
+    """Solves L L^T X = Bmat for one env ((n, n), (n, m)); pallas-batched
+    under vmap on TPU."""
+    import jax.scipy.linalg as jsl
+    return jsl.cho_solve((L, True), Bmat)
+
+
+@cho_solve_multi_pe.def_vmap
+def _cho_solve_multi_pe_vmap(axis_size, in_batched, L, Bmat):
+    del axis_size
+    if not (in_batched[0] and in_batched[1]):  # pragma: no cover
+        import jax.scipy.linalg as jsl
+        out = jax.vmap(lambda l, r: jsl.cho_solve((l, True), r),
+                       in_axes=(0 if in_batched[0] else None,
+                                0 if in_batched[1] else None))(L, Bmat)
+        return out, True
+    return cho_solve_multi(L, Bmat), True
+
+
 # ------------------------------------------ fused factor + solve kernel
 
 
@@ -271,9 +384,6 @@ def chol_solve(A, b, interpret: bool | None = None):
 # The engine is written per-env and jax.vmap'ed over the batch. These
 # custom_vmap wrappers run plain XLA for a single env but dispatch the
 # whole batch to the pallas kernels when vmapped.
-
-from jax import custom_batching
-
 
 @custom_batching.custom_vmap
 def chol_pe(A):

@@ -1,0 +1,34 @@
+"""Pallas dispatch gate.
+
+Each hot op has a plain-XLA fallback used off-TPU; this gate additionally
+lets the TPU path be disabled per kernel via the environment variable
+FLYBODY_NO_PALLAS — a comma-separated subset of {chol, noslip, mpr} or
+'all'. Used to bisect runtime faults (is it a Mosaic kernel or XLA?) and
+to A/B kernel performance without code edits.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def _disabled() -> frozenset[str]:
+    v = os.environ.get('FLYBODY_NO_PALLAS', '').strip().lower()
+    if not v:
+        return frozenset()
+    if v == 'all':
+        return frozenset({'chol', 'noslip', 'mpr', 'linesearch'})
+    return frozenset(p.strip() for p in v.split(',') if p.strip())
+
+
+def pallas_enabled(name: str) -> bool:
+    """True if the named pallas kernel should run (TPU backend and not
+    disabled via FLYBODY_NO_PALLAS)."""
+    if name in _disabled():
+        return False
+    try:
+        return jax.default_backend() == 'tpu'
+    except RuntimeError:  # pragma: no cover - uninitialized backend
+        return False

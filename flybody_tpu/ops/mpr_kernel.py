@@ -321,10 +321,8 @@ def make_mpr_pe(type1: int, type2: int, polish_iters: int):
     @f.def_vmap
     def _rule(axis_size, in_batched, pos1, mat1, size1, mg1, pos2, mat2,
               size2, mg2):
-        try:
-            on_tpu = jax.default_backend() == 'tpu'
-        except RuntimeError:  # pragma: no cover
-            on_tpu = False
+        from flybody_tpu.ops.dispatch import pallas_enabled
+        on_tpu = pallas_enabled('mpr')
         args = [pos1, mat1, size1, mg1, pos2, mat2, size2, mg2]
         if not on_tpu:
             axes = [0 if b else None for b in in_batched]

@@ -138,10 +138,8 @@ def make_gs_pe(iterations: int):
     def _rule(axis_size, in_batched, Jt, Pt, Ainv, aref_t, lim, use, x0,
               ft0):
         del axis_size
-        try:
-            on_tpu = jax.default_backend() == 'tpu'
-        except RuntimeError:  # pragma: no cover
-            on_tpu = False
+        from flybody_tpu.ops.dispatch import pallas_enabled
+        on_tpu = pallas_enabled('noslip')
         if not all(in_batched) or not on_tpu:
             out = jax.vmap(lambda *a: _reference(*a, iterations))(
                 Jt, Pt, Ainv, aref_t, lim, use, x0, ft0)

@@ -142,6 +142,17 @@ def pair_tables(meta: _s.Meta, terrain: bool = False):
     )
 
 
+@functools.lru_cache(maxsize=8)
+def self_pair_mask(meta: _s.Meta, terrain: bool = False):
+    """Slot mask: both geoms rooted at the fly's kinematic root (thorax
+    subtree), i.e. fly-self contacts (reference fruitfly.py:694-700)."""
+    tb = pair_tables(meta, terrain)
+    root = np.array(meta.body_rootid)
+    fly_root = root[meta.body_names.index('thorax')]
+    return ((root[tb['slot_body1']] == fly_root)
+            & (root[tb['slot_body2']] == fly_root))
+
+
 @struct.dataclass
 class Contact:
     """All candidate contact slots (static size S).
@@ -539,19 +550,63 @@ def _mpr_topp(model: FlyModel, data: Data, key, g1, g2,
     return d_full[:, None], p_full[:, None], n_full[:, None]
 
 
+@functools.lru_cache(maxsize=8)
+def _analytic_tables(meta: _s.Meta):
+    """Static segment tables for the fused analytic-narrowphase kernel:
+    (segs, g1_all, g2_all, n_slots, key->(slot_lo, npairs, k))."""
+    from flybody_tpu.ops import narrowphase as _np
+    tb = pair_tables(meta)
+    segs, g1_all, g2_all = [], [], []
+    ranges = {}
+    plo = slo = 0
+    for key, (g1, g2, k) in tb['groups'].items():
+        if key not in _np.ANALYTIC_KEYS:
+            continue
+        n = len(g1)
+        segs.append((key, plo, plo + n, slo, k))
+        ranges[key] = (slo, n, k)
+        g1_all.append(g1)
+        g2_all.append(g2)
+        plo += n
+        slo += n * k
+    return (tuple(segs), np.concatenate(g1_all), np.concatenate(g2_all),
+            slo, ranges)
+
+
 def collide(model: FlyModel, data: Data,
             terrain: jax.Array | None = None) -> Contact:
     """Evaluate all candidate pairs; returns static-size contact slots.
 
     `terrain` (optional, traced): per-env heightfield grid; appends the
     terrain candidate rows from terrain.py after the geom-pair slots."""
+    from flybody_tpu.ops import narrowphase as _np
     meta = model.meta
     tb = pair_tables(meta)
     dtype = data.qpos.dtype
     gcat = _geom_cat(data)
 
+    # All analytic pair types (planes, spheres, capsule-capsule) in ONE
+    # fused narrowphase op — each was a separate chain of (P, 3) ops with
+    # ~2 ms of fixed cost at batch 8192, and capsule-capsule (1039 pairs)
+    # alone cost ~20 ms in HBM-streamed temporaries.
+    segs, ag1, ag2, n_aslots, ranges = _analytic_tables(meta)
+    c1 = gcat[jnp.asarray(ag1)]
+    c2 = gcat[jnp.asarray(ag2)]
+    size = jnp.asarray(model.geom_size).astype(dtype)
+    sz = jnp.concatenate([size[ag1], size[ag2]], -1)  # (P, 6) unbatched
+    d_a, p_a, n_a = _np.make_narrowphase_pe(segs, n_aslots)(c1, c2, sz)
+
     dists, poss, normals = [], [], []
     for key, (g1, g2, k) in tb['groups'].items():
+        if key in _np.ANALYTIC_KEYS:
+            slo, n, kk = ranges[key]
+            d = d_a[slo:slo + n * kk]
+            p = p_a[slo:slo + n * kk]
+            nr = n_a[slo:slo + n * kk]
+            dists.append(d)
+            poss.append(p)
+            normals.append(nr)
+            continue
         if k == 1 and key[0] != _s.GEOM_PLANE and len(g1) > MPR_TOP_P:
             # Broadphase for the expensive iterative narrowphase: run MPR
             # only on the MPR_TOP_P closest pairs by bounding-sphere

@@ -30,17 +30,6 @@ from flybody_tpu.physics.state import Data, make_data
 
 
 @functools.lru_cache(maxsize=8)
-def _self_pair_mask(meta, terrain: bool = False):
-    """slot mask: both geoms rooted at the fly's kinematic root (thorax
-    subtree), i.e. fly-self contacts (reference fruitfly.py:694-700)."""
-    tb = _col.pair_tables(meta, terrain)
-    root = np.array(meta.body_rootid)
-    fly_root = root[meta.body_names.index('thorax')]
-    return ((root[tb['slot_body1']] == fly_root)
-            & (root[tb['slot_body2']] == fly_root))
-
-
-@functools.lru_cache(maxsize=8)
 def _adhesion_tables(meta):
     """Static adhesion actuator -> body map."""
     adh_u, adh_body, adh_gain_idx = [], [], []
@@ -110,10 +99,8 @@ def fwd(model: FlyModel, data: Data,
 
     # Actuation with adhesion.
     data = _sm.actuation(model, data)
-    tb = _col.pair_tables(meta, terrain_on)
-    b1 = jnp.asarray(tb['slot_body1'], jnp.int32)[efc.con_sel]
-    b2 = jnp.asarray(tb['slot_body2'], jnp.int32)[efc.con_sel]
-    adh_u, adh_mom = adhesion_moment(model, efc, (b1, b2))
+    adh_u, adh_mom = adhesion_moment(model, efc,
+                                     (efc.con_body1, efc.con_body2))
     if len(adh_u):
         adh_force = data.actuator_force[adh_u]
         qfrc_adh = adh_mom.T @ adh_force
@@ -153,8 +140,7 @@ def fwd(model: FlyModel, data: Data,
                     + efc.con_JT @ f_c.reshape(-1))
 
     # Self-contact force magnitude sum (observable; fruitfly.py:687-704).
-    selfmask = jnp.asarray(_self_pair_mask(meta, terrain_on), dtype)
-    m_self = selfmask[efc.con_sel] * efc.con_active
+    m_self = efc.con_self * efc.con_active
     self_force = jnp.sum(m_self * jnp.linalg.norm(f_c, axis=-1))
 
     data = data.replace(qacc=qacc, qfrc_constraint=qfrc_con, contact=con,

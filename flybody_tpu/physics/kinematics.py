@@ -284,7 +284,8 @@ def com_pos(model: FlyModel, data: Data, jnt_xanchor: jax.Array,
                           | ((dof_jnt_type == _s.FREE) & (tb['dof_rot'] == 1)))
     R = data.xmat[dof_body]  # (nv, 3, 3)
     local_axis = jnp.asarray(tb['dof_local_axis'], dtype)
-    body_frame_axis = (R @ local_axis[:, :, None])[:, :, 0]
+    # mul+sum, not (3,3)@(3,1) batched matmuls (those serialize on MXU).
+    body_frame_axis = jnp.sum(R * local_axis[:, None, :], axis=-1)
     hinge_slide_axis = jnt_xaxis[dof_jnt]
     world_axis = jnp.where(
         jnp.asarray(is_free_trans)[:, None], local_axis,

@@ -28,12 +28,21 @@ from flybody_tpu.physics.state import Data
 
 @functools.lru_cache(maxsize=8)
 def _sensor_tables(meta: _s.Meta):
-    """Static per-sensor dispatch tables."""
+    """Static per-sensor dispatch tables (adr-ordered) + per-element
+    cutoff vector."""
     rows = []
     for i in range(meta.nsensor):
         rows.append(dict(type=meta.sensor_type[i], objid=meta.sensor_objid[i],
                          adr=meta.sensor_adr[i], dim=meta.sensor_dim[i],
                          cutoff_idx=i))
+    rows.sort(key=lambda r: r['adr'])
+    # Sensors tile sensordata contiguously (checked so sensordata() can
+    # build the vector by ordered concatenation).
+    off = 0
+    for r in rows:
+        assert r['adr'] == off, (r, off)
+        off += r['dim']
+    assert off == meta.nsensordata
     # Subtree mask for cfrc_int.
     parent = np.array(meta.body_parentid)
     nbody = meta.nbody
@@ -61,12 +70,9 @@ def contact_body_wrenches(model: FlyModel, data: Data, efc: _sol.EfcRows,
     point, (nbody, 6) in (torque; force) spatial layout."""
     meta = model.meta
     dtype = data.qpos.dtype
-    tb = _col.pair_tables(meta, terrain)
-    sel = efc.con_sel
-    b1 = jnp.asarray(tb['slot_body1'], jnp.int32)[sel]
-    b2 = jnp.asarray(tb['slot_body2'], jnp.int32)[sel]
-    pos = data.contact.pos[sel] if data.contact is not None else None
-    normal = data.contact.normal[sel]
+    b1, b2 = efc.con_body1, efc.con_body2
+    pos = efc.con_xpos
+    normal = efc.con_normal
     t1, t2 = _sol.make_frame(normal)
     frame = jnp.stack([normal, t1, t2], axis=1)  # (K, 3, 3)
     f_world = jnp.einsum('kr,kri->ki', f_c, frame)  # force on body2 (+)
@@ -78,7 +84,10 @@ def contact_body_wrenches(model: FlyModel, data: Data, efc: _sol.EfcRows,
         torque = jnp.cross(pos - ref, sign * f_world)
         w = jnp.concatenate([torque, sign * f_world], axis=-1)
         w = w * efc.con_active[:, None]
-        return jnp.zeros((meta.nbody, 6), dtype).at[body].add(w)
+        # Scatter-add as a one-hot mul+sum (batched traced scatters and
+        # tiny (nbody, K)@(K, 6) matmuls are both slow on TPU).
+        oh = jax.nn.one_hot(body, meta.nbody, dtype=dtype)  # (K, nbody)
+        return jnp.sum(oh[:, :, None] * w[:, None, :], axis=0)
 
     out = wrench(b2, 1.0) + wrench(b1, -1.0)
     return out
@@ -126,7 +135,6 @@ def sensordata(model: FlyModel, data: Data, efc: _sol.EfcRows,
     meta = model.meta
     dtype = data.qpos.dtype
     rows, _ = _sensor_tables(meta)
-    out = jnp.zeros((meta.nsensordata,), dtype)
 
     need_acc = any(r['type'] in (_s.SENS_ACCELEROMETER, _s.SENS_FORCE,
                                  _s.SENS_TORQUE, _s.SENS_TOUCH)
@@ -134,19 +142,22 @@ def sensordata(model: FlyModel, data: Data, efc: _sol.EfcRows,
     if need_acc:
         fint, cacc = cfrc_int(model, data, efc, f_c, terrain)
 
-    tb = _col.pair_tables(meta, terrain)
-    sel = efc.con_sel
-    b1 = jnp.asarray(tb['slot_body1'], jnp.int32)[sel]
-    b2 = jnp.asarray(tb['slot_body2'], jnp.int32)[sel]
+    b1, b2 = efc.con_body1, efc.con_body2
+    normal_force = jnp.maximum(f_c[:, 0], 0.0) * efc.con_active
 
+    # Build segments in adr order (rows tile sensordata contiguously —
+    # asserted in _sensor_tables) and concatenate ONCE: ~30 sequential
+    # at[].set updates of the output vector cost ~15 ms/substep at batch
+    # 8192 in launch overhead alone.
+    segs = []
     for r in rows:
-        t, sid, adr = r['type'], r['objid'], r['adr']
+        t, sid = r['type'], r['objid']
         if t == _s.SENS_GYRO:
             w, _ = _site_vel(model, data, sid)
-            out = out.at[adr:adr + 3].set(w)
+            segs.append(w)
         elif t == _s.SENS_VELOCIMETER:
             _, v = _site_vel(model, data, sid)
-            out = out.at[adr:adr + 3].set(v)
+            segs.append(v)
         elif t == _s.SENS_ACCELEROMETER:
             b = meta.site_bodyid[sid]
             root = meta.body_rootid[b]
@@ -158,29 +169,24 @@ def sensordata(model: FlyModel, data: Data, efc: _sol.EfcRows,
             a_lin = va + jnp.cross(wa, p - ref)
             v_at = v + jnp.cross(w, p - ref)
             a_conv = a_lin + jnp.cross(w, v_at)
-            out = out.at[adr:adr + 3].set(data.site_xmat[sid].T @ a_conv)
+            segs.append(data.site_xmat[sid].T @ a_conv)
         elif t == _s.SENS_FORCE:
             b = meta.site_bodyid[sid]
-            root = meta.body_rootid[b]
-            p = data.site_xpos[sid]
-            ref = data.subtree_com[root]
             # Interaction force (child side) at the site, site frame.
             force = fint[b][3:]
-            out = out.at[adr:adr + 3].set(data.site_xmat[sid].T @ force)
+            segs.append(data.site_xmat[sid].T @ force)
         elif t == _s.SENS_TOUCH:
             b = meta.site_bodyid[sid]
-            involve = ((b1 == b) | (b2 == b)).astype(dtype) * efc.con_active
-            normal_force = jnp.maximum(f_c[:, 0], 0.0)
-            out = out.at[adr].set(jnp.sum(involve * normal_force))
+            involve = ((b1 == b) | (b2 == b)).astype(dtype)
+            segs.append(jnp.sum(involve * normal_force)[None])
         else:
             raise NotImplementedError(f'sensor type {t}')
+    out = jnp.concatenate(segs).astype(dtype)
 
-    # Apply cutoffs (clip to [-cutoff, cutoff] where cutoff > 0).
+    # Apply cutoffs (clip to [-cutoff, cutoff] where cutoff > 0) as one
+    # vectorized op over a per-element cutoff vector.
     cut = model.sensor_cutoff.astype(dtype)
-    for r in rows:
-        c = cut[r['cutoff_idx']]
-        adr, dim = r['adr'], r['dim']
-        seg = out[adr:adr + dim]
-        seg = jnp.where(c > 0, jnp.clip(seg, -c, c), seg)
-        out = out.at[adr:adr + dim].set(seg)
-    return out
+    cutvec = jnp.concatenate(
+        [jnp.broadcast_to(cut[r['cutoff_idx']], (r['dim'],))
+         for r in rows])
+    return jnp.where(cutvec > 0, jnp.clip(out, -cutvec, cutvec), out)

@@ -116,12 +116,13 @@ def factor_m(model: FlyModel, data: Data,
 
 def solve_m(model: FlyModel, data: Data, rhs: jax.Array) -> jax.Array:
     """Solve qM x = rhs using the cached Cholesky factor. Vector rhs
-    takes the pallas substitution kernel; matrix rhs stays on XLA's
-    triangular solves (MXU-friendly for many columns)."""
+    takes the single-RHS pallas substitution kernel; matrix rhs the
+    multi-RHS kernel (XLA's batched triangular solves run ~10x slower at
+    batch 8192 — measured v5e)."""
     from flybody_tpu.ops import cholesky as _pchol
     if rhs.ndim == 1:
         return _pchol.cho_solve_pe(data.qLD, rhs)
-    return jax.scipy.linalg.cho_solve((data.qLD, True), rhs)
+    return _pchol.cho_solve_multi_pe(data.qLD, rhs)
 
 
 # -----------------------------------------------------------------------------
@@ -418,9 +419,11 @@ def euler(model: FlyModel, data: Data) -> Data:
     qfrc = data.qfrc_smooth + (data.qfrc_constraint
                                if data.qfrc_constraint is not None
                                else jnp.zeros_like(data.qfrc_smooth))
-    data = factor_m(model, data,
-                    extra_diag=dt * model.dof_damping.astype(qfrc.dtype))
-    qacc = solve_m(model, data, qfrc)
+    # Fused factor+solve of the damped system (one VMEM pass).
+    from flybody_tpu.ops import cholesky as _pchol
+    Md = data.qM + jnp.diag(dt * model.dof_damping.astype(qfrc.dtype))
+    qLD, qacc = _pchol.chol_solve_pe(Md, qfrc)
+    data = data.replace(qLD=qLD)
     act = _advance_act(model, data, dt)
     qvel = data.qvel + dt * qacc
     qpos = integrate_pos(model, data.qpos, qvel, dt)

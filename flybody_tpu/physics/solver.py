@@ -89,6 +89,14 @@ class EfcRows(NamedTuple):
     con_D: jax.Array  # (K,)
     con_pos: jax.Array  # (K,)  (dist)
     con_sel: jax.Array  # (K,) int32 indices into contact slots
+    # Carried contact geometry/topology so downstream consumers (adhesion
+    # transmission, sensors, self-contact observable) never re-gather the
+    # big slot tables by traced index.
+    con_xpos: jax.Array  # (K, 3) world contact point
+    con_normal: jax.Array  # (K, 3) geom1 -> geom2
+    con_body1: jax.Array  # (K,) int32
+    con_body2: jax.Array  # (K,) int32
+    con_self: jax.Array  # (K,) 1.0 for fly-self contacts
 
 
 @functools.lru_cache(maxsize=8)
@@ -168,22 +176,8 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
     # --- Contacts: select top-K by (dist - includemargin).
     params = _col.slot_params(model, terrain)
     score = con.dist - params.includemargin.astype(dtype)
-    neg = -score
-    k = min(ncon_max, score.shape[0])
-    _, sel = jax.lax.top_k(neg, k)
-    sel = sel.astype(jnp.int32)
-
-    # All per-slot lookups ride TWO one-hot matmuls (traced row gathers
-    # cost ~8-25 ms each at batch 8192 on v5e; a fused (K, S) one-hot
-    # contraction over a concatenated table is ~2-3 ms total):
-    #   bcat: batched per-slot state [dist | pos | normal]      (S, 7)
-    #   ucat: unbatched per-slot constants                       (S, 13)
-    oh = jax.nn.one_hot(sel, score.shape[0], dtype=dtype)  # (K, S)
-    bcat = jnp.concatenate([con.dist[:, None], con.pos, con.normal], -1)
-    bsel = oh @ bcat  # (K, 7)
-    c_dist = bsel[:, 0]
-    c_pos = bsel[:, 1:4]
-    c_n_raw = bsel[:, 4:7]
+    S = score.shape[0]
+    k = min(ncon_max, S)
 
     # Static per-slot constants, incl. precomputed contact-space diagonal
     # invweight (inv1[b1] + inv1[b2] is a pure slot constant).
@@ -191,6 +185,7 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
     sbody1 = np.asarray(tb['slot_body1'])
     sbody2 = np.asarray(tb['slot_body2'])
     diag_slot = inv1[sbody1] + inv1[sbody2]  # (S,)
+    selfmask = _col.self_pair_mask(meta, terrain)
     ucat = jnp.concatenate([
         params.includemargin.astype(dtype)[:, None],
         params.friction.astype(dtype)[:, :1],
@@ -198,14 +193,76 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
         params.solimp.astype(dtype),
         jnp.asarray(tb['slot_condim'], dtype)[:, None],
         diag_slot[:, None],
-    ], -1)  # (S, 11)
-    usel = oh @ ucat
+        jnp.asarray(sbody1, dtype)[:, None],
+        jnp.asarray(sbody2, dtype)[:, None],
+        jnp.asarray(selfmask, dtype)[:, None],
+    ], -1)  # (S, 14)
+    # Batched per-slot state [dist | pos | normal] (S, 7).
+    bcat = jnp.concatenate([con.dist[:, None], con.pos, con.normal], -1)
+
+    TILE = 32
+    if S > 16 * TILE:
+        # Two-stage exact top-k: pick the T tiles with the smallest
+        # per-tile minimum, then top-k within those tiles' T*TILE
+        # candidates. Exact for k <= T: any element of a non-selected
+        # tile is >= that tile's min, which is >= T selected tile mins,
+        # i.e. >= T >= k other elements. Cuts the top_k from S=2223 to
+        # 1024 and shrinks the one-hot gather GEMM from (K, S) to
+        # (K, T*TILE) — the S-sized one-hot alone is ~2.3 GB of HBM at
+        # batch 8192.
+        T = max(TILE, k)
+        pad_len = (-S) % TILE
+        nt = (S + pad_len) // TILE
+        score_p = jnp.concatenate(
+            [score, jnp.full((pad_len,), 1e10, dtype)])
+        tiles = score_p.reshape(nt, TILE)
+        tmin = tiles.min(axis=1)
+        _, tidx = jax.lax.top_k(-tmin, T)
+        # All tile gathers ride small (T, nt) one-hot GEMMs — batched
+        # traced row gathers lower to per-row loops on TPU (~100 ms at
+        # batch 8192, measured).
+        oh_t = jax.nn.one_hot(tidx, nt, dtype=dtype)  # (T, nt)
+        cand = (oh_t @ tiles).reshape(T * TILE)
+        _, lsel = jax.lax.top_k(-cand, k)
+        oh_lt = jax.nn.one_hot(lsel // TILE, T, dtype=dtype)  # (k, T)
+        sel_tile = jnp.round(oh_lt @ tidx.astype(dtype)).astype(jnp.int32)
+        sel = sel_tile * TILE + (lsel % TILE).astype(jnp.int32)
+        # Tile-gather each table SEPARATELY (ucat is an unbatched model
+        # constant — concatenating it into the batched table would
+        # materialize a (B, S, 21) array), then pick rows with one
+        # (K, T*TILE) one-hot GEMM each.
+        bpad_row = jnp.zeros((7,), dtype).at[0].set(1e10).at[6].set(1.0)
+        bcat_p = jnp.concatenate(
+            [bcat, jnp.broadcast_to(bpad_row, (pad_len, 7))])
+        bcat_t = (oh_t @ bcat_p.reshape(nt, TILE * 7)).reshape(
+            T * TILE, 7)
+        ucat_p = jnp.concatenate(
+            [ucat, jnp.zeros((pad_len, ucat.shape[-1]), dtype)])
+        nu = ucat.shape[-1]
+        ucat_t = (oh_t @ ucat_p.reshape(nt, TILE * nu)).reshape(
+            T * TILE, nu)
+        oh = jax.nn.one_hot(lsel, T * TILE, dtype=dtype)
+        bsel = oh @ bcat_t
+        usel = oh @ ucat_t
+    else:
+        _, sel = jax.lax.top_k(-score, k)
+        sel = sel.astype(jnp.int32)
+        oh = jax.nn.one_hot(sel, S, dtype=dtype)  # (K, S)
+        bsel = oh @ bcat  # (K, 7)
+        usel = oh @ ucat
+
+    c_dist = bsel[:, 0]
+    c_pos = bsel[:, 1:4]
+    c_n_raw = bsel[:, 4:7]
     c_incl = usel[:, 0]
     c_mu = usel[:, 1]
     c_solref = usel[:, 2:4]
     c_solimp = usel[:, 4:9]
     condim = usel[:, 9]
     diag_c = usel[:, 10]
+    c_body1 = jnp.round(usel[:, 11]).astype(jnp.int32)
+    c_body2 = jnp.round(usel[:, 12]).astype(jnp.int32)
+    c_self = usel[:, 13]
     c_active = c_dist < c_incl
     # Dead slots (uncovered when S < K never happens here, but top_k padding
     # with separated pairs still yields valid unit normals from collide()).
@@ -218,10 +275,8 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
     # (S, nv) table; gather it through the same one-hot contraction...
     # at nv=108 wide that GEMM is too large, so instead use small
     # one-hot body matmuls: (K, nbody)(nbody, nv).
-    w_slot_b1 = oh @ jnp.asarray(sbody1, dtype)[:, None]
-    w_slot_b2 = oh @ jnp.asarray(sbody2, dtype)[:, None]
-    body1 = w_slot_b1[:, 0].astype(jnp.int32)
-    body2 = w_slot_b2[:, 0].astype(jnp.int32)
+    body1 = c_body1
+    body2 = c_body2
     mask = jnp.asarray(model.body_dof_mask).astype(dtype)
     oh_b1 = jax.nn.one_hot(body1, meta.nbody, dtype=dtype)
     oh_b2 = jax.nn.one_hot(body2, meta.nbody, dtype=dtype)
@@ -261,6 +316,8 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
         con_frictional=(condim >= 3).astype(dtype),
         con_mu=c_mu, con_aref=con_aref, con_D=con_D, con_pos=c_dist,
         con_sel=sel,
+        con_xpos=c_pos, con_normal=c_n, con_body1=c_body1,
+        con_body2=c_body2, con_self=c_self,
     )
 
 
@@ -424,7 +481,17 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         # (Hc J) via broadcast mul+sum (tiny batched 3x3 matmuls
         # serialize on the MXU); the outer product is one native GEMM.
         JH = jnp.sum(Hc[:, :, :, None] * efc.con_J[:, None, :, :], axis=2)
-        H = M + JT @ JH.reshape(3 * K, nv)
+        JHr = JH.reshape(3 * K, nv)
+        if dtype == jnp.float32:
+            # bf16 operands with f32 accumulation: H only steers the
+            # Newton direction (the exact line search preserves descent
+            # and the gradient stays f32), and the MXU runs bf16 at 2x.
+            JTJH = jax.lax.dot(JT.astype(jnp.bfloat16),
+                               JHr.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+        else:
+            JTJH = JT @ JHr
+        H = M + JTJH
         H = H + jnp.diag(hd_dof)
         return g, H
 
@@ -435,11 +502,16 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         g = g - JT @ f_c.reshape(3 * K)
         return g
 
+    from flybody_tpu.ops import linesearch as _pls
+    ls_fn = _pls.make_ls_pe(6, ls_iterations)
+
     def line_search(x, dx):
-        # Precompute directional quantities once: along dx, phi'(alpha) and
-        # phi''(alpha) are pure per-row functions of jar0 + alpha*jv (the
-        # same trick MuJoCo's Newton line search uses) — the line-search
-        # iterations below involve NO matrix-vector products.
+        # Precompute directional quantities once: along dx, phi'(alpha)
+        # and phi''(alpha) are pure per-row functions of jar0 + alpha*jv
+        # (the same trick MuJoCo's Newton line search uses). The search
+        # itself (bracket doubling + guarded Newton/bisection) runs as
+        # ONE pallas kernel on TPU (ops/linesearch.py) — in XLA it is
+        # ~20 tiny kernel launches per Newton iteration.
         mdx = M @ dx
         sm0 = (M @ (x - a_free)) @ dx  # smooth slope at alpha = 0
         smm = dx @ mdx                 # smooth curvature (constant)
@@ -448,52 +520,12 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         jv_l = dx[efc.lim_dof] * jnp.asarray(efc.lim_sign, dtype)
         jar0_c = (J2 @ x).reshape(K, 3) - efc.con_aref
         jv_c = (J2 @ dx).reshape(K, 3)
-
-        def slope_at(a):
-            jar_l = jar0_l + a * jv_l
-            act_l = efc.lim_active * (jar_l < 0)
-            f_l = -efc.lim_D * jar_l * act_l
-            jar_c = jar0_c + a * jv_c
-            res = _cone_residual(jar_c, efc.con_mu, efc.con_frictional,
-                                 efc.con_active)
-            f_c = -efc.con_D[:, None] * res
-            slope = (sm0 + a * smm - jnp.sum(f_l * jv_l)
-                     - jnp.sum(f_c * jv_c))
-            Hc = _cone_hessian(jar_c, efc.con_mu, efc.con_frictional,
-                               efc.con_active) * efc.con_D[:, None, None]
-            curv = smm + jnp.sum(efc.lim_D * act_l * jv_l ** 2)
-            curv = curv + jnp.einsum('kr,krs,ks->', jv_c, Hc, jv_c)
-            return slope, jnp.maximum(curv, 1e-15)
-
-        # phi(alpha) is convex piecewise-quadratic along dx with phi'(0) < 0.
-        # Bracket the minimizer by doubling, then bisection with Newton
-        # acceleration inside the bracket.
-
-        def expand(_, hi):
-            s, _ = slope_at(hi)
-            return jnp.where(s < 0, hi * 2.0, hi)
-
-        hi = jax.lax.fori_loop(0, 6, expand, jnp.asarray(1.0, dtype))
-        lo = jnp.zeros_like(hi)
-
-        def bisect(_, carry):
-            lo, hi = carry
-            mid = 0.5 * (lo + hi)
-            s, c = slope_at(mid)
-            # Newton candidate from mid; fall back to bisection.
-            cand = mid - s / c
-            inside = (cand > lo) & (cand < hi)
-            probe = jnp.where(inside, cand, mid)
-            sp, _ = slope_at(probe)
-            lo = jnp.where(sp < 0, probe, lo)
-            hi = jnp.where(sp < 0, hi, probe)
-            return lo, hi
-
-        lo, hi = jax.lax.fori_loop(0, ls_iterations, bisect, (lo, hi))
-        alpha = 0.5 * (lo + hi)
-        # Guard: never take an uphill step.
-        s0, _ = slope_at(jnp.zeros_like(alpha))
-        return jnp.where(s0 < 0, alpha, jnp.zeros_like(alpha))
+        lim = jnp.stack([jar0_l, jv_l, efc.lim_active, efc.lim_D])
+        con = jnp.concatenate([
+            jar0_c.T, jv_c.T, efc.con_mu[None], efc.con_frictional[None],
+            efc.con_active[None], efc.con_D[None]])
+        sc = jnp.stack([sm0[None], smm[None]])
+        return ls_fn(lim, con, sc)
 
     x = a_free
     if warmstart is not None:

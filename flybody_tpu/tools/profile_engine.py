@@ -165,7 +165,7 @@ def main(argv=None):
             dd = dd.replace(qfrc_smooth=qfrc_smooth)
             dd = sm.factor_m(model, dd)
             a_free = sm.solve_m(model, dd, qfrc_smooth)
-            return dd, efc, a_free
+            return dd.replace(contact=con), efc, a_free
         return jax.vmap(one)(d)
 
     d_prep, efc_prep, afree_prep = jax.jit(prep)(d0)

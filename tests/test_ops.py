@@ -47,6 +47,127 @@ def test_cho_solve_kernel_matches_xla(spd):
     assert float(jnp.abs(res).max()) < 1e-4
 
 
+def test_cho_solve_multi_kernel_matches_xla(spd):
+    M, b = spd
+    import jax.scipy.linalg as jsl
+    rng = np.random.RandomState(3)
+    m = 32
+    R = jnp.asarray(rng.randn(M.shape[0], M.shape[-1], m), jnp.float32)
+    L = jnp.linalg.cholesky(M)
+    X_ref = jsl.cho_solve((L, True), R)
+    X = pchol.cho_solve_multi(L, R, interpret=True)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(X_ref),
+                               atol=5e-5, rtol=2e-3)
+    res = jnp.einsum('bij,bjm->bim', M, X) - R
+    assert float(jnp.abs(res).max()) < 2e-4
+
+
+def test_linesearch_kernel_matches_reference():
+    from flybody_tpu.ops import linesearch as pls
+    rng = np.random.RandomState(7)
+    B, L, K = 64, 24, 16
+    lim = jnp.asarray(np.stack([
+        rng.randn(B, L),                      # jar0
+        rng.randn(B, L),                      # jv
+        (rng.rand(B, L) < 0.5).astype(float),  # active
+        rng.rand(B, L) * 100.0,               # D
+    ], axis=1), jnp.float32)
+    jar0 = rng.randn(B, 3, K)
+    jv = rng.randn(B, 3, K)
+    con = jnp.asarray(np.concatenate([
+        jar0, jv,
+        (0.2 + rng.rand(B, 1, K)),            # mu
+        (rng.rand(B, 1, K) < 0.8).astype(float),  # frictional
+        (rng.rand(B, 1, K) < 0.7).astype(float),  # active
+        rng.rand(B, 1, K) * 100.0,            # D
+    ], axis=1), jnp.float32)
+    sc = jnp.asarray(np.stack([
+        -np.abs(rng.randn(B, 1)) * 10.0,      # sm0 < 0 (descent)
+        np.abs(rng.randn(B, 1)) * 5.0 + 1.0,  # smm > 0
+    ], axis=1), jnp.float32)
+
+    ref = jax.vmap(lambda l, c, s: pls.alpha_ref(l, c, s, 6, 6))(
+        lim, con, sc)
+    a_t = pls._ls_pallas(
+        pls._tolanes(lim, (-B) % pls.LANES),
+        pls._tolanes(con, (-B) % pls.LANES),
+        pls._tolanes(sc, (-B) % pls.LANES), 6, 6, interpret=True)
+    got = np.asarray(a_t[0, 0, :B])
+    # f32 reduction-order differences can flip a bracketing branch near a
+    # zero slope; allow sub-percent deviations on those envs.
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-2, atol=1e-3)
+    # Sanity: at least some envs take a nonzero step.
+    assert (np.asarray(ref) > 0).any()
+
+
+def test_narrowphase_kernel_matches_reference():
+    from flybody_tpu.ops import narrowphase as pnp
+    from flybody_tpu.model import spec as _sp
+    rng = np.random.RandomState(11)
+    # One segment per supported key, a few pairs each.
+    keys = [(_sp.GEOM_PLANE, _sp.GEOM_SPHERE),
+            (_sp.GEOM_PLANE, _sp.GEOM_CAPSULE),
+            (_sp.GEOM_PLANE, _sp.GEOM_ELLIPSOID),
+            (_sp.GEOM_PLANE, _sp.GEOM_CYLINDER),
+            (_sp.GEOM_SPHERE, _sp.GEOM_SPHERE),
+            (_sp.GEOM_SPHERE, _sp.GEOM_CAPSULE),
+            (_sp.GEOM_CAPSULE, _sp.GEOM_CAPSULE)]
+    kk = {(_sp.GEOM_PLANE, _sp.GEOM_CAPSULE): 2,
+          (_sp.GEOM_PLANE, _sp.GEOM_CYLINDER): 3}
+    NP_, segs, plo, slo = 5, [], 0, 0
+    for key in keys:
+        k = kk.get(key, 1)
+        segs.append((key, plo, plo + NP_, slo, k))
+        plo += NP_
+        slo += NP_ * k
+    segs = tuple(segs)
+    B, P = 64, plo
+
+    def rand_rot(n):
+        q = rng.randn(n, 4)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        w, x, y, z = q.T
+        return np.stack([
+            1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+            2 * (x * z + w * y), 2 * (x * y + w * z),
+            1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x),
+            1 - 2 * (x * x + y * y)], axis=-1)
+
+    def geom(n):
+        return np.concatenate(
+            [0.3 * rng.randn(n, 3), rand_rot(n)], -1)
+
+    c1 = jnp.asarray(np.stack([geom(P) for _ in range(B)]), jnp.float32)
+    c2 = jnp.asarray(np.stack([geom(P) for _ in range(B)]), jnp.float32)
+    sz = jnp.asarray(0.05 + 0.2 * rng.rand(P, 6), jnp.float32)
+
+    f = pnp.make_narrowphase_pe(segs, slo)
+    d_ref, p_ref, n_ref = jax.vmap(f, in_axes=(0, 0, None))(c1, c2, sz)
+
+    pad = (-B) % pnp.LANES
+
+    def tol(v, batched=True):
+        if not batched:
+            v = jnp.broadcast_to(v[None], (B,) + v.shape)
+        v = jnp.swapaxes(jnp.moveaxis(v, 0, -1), 0, 1)
+        if pad:
+            v = jnp.concatenate(
+                [v, jnp.zeros(v.shape[:-1] + (pad,), v.dtype)], -1)
+        return v
+
+    d_t, p_t, n_t = pnp._np_pallas(segs, slo, tol(c1), tol(c2),
+                                   tol(sz, False), interpret=True)
+    pm = pnp.rowmajor_to_canonical_perm(segs, slo)
+    got_d = np.moveaxis(np.asarray(d_t)[0, :, :B], -1, 0)[:, pm]
+    np.testing.assert_allclose(got_d, np.asarray(d_ref), rtol=1e-5,
+                               atol=1e-5)
+    got_p = np.moveaxis(np.swapaxes(np.asarray(p_t)[:, :, :B], 0, 1),
+                        -1, 0)[:, pm]
+    np.testing.assert_allclose(got_p, np.asarray(p_ref), rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_chol_pe_vmap_dispatch(spd):
     M, b = spd
     # Under vmap the custom rule runs; off-TPU it falls back to XLA.
