@@ -6,10 +6,11 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ...,
 reference publishes no throughput numbers).
 
 Env overrides: BENCH_BATCH (default 8192), BENCH_STEPS (default 5),
-BENCH_TASK (walk_imitation | flight_imitation). NOTE: batch 8192 with
->= 10 scanned control steps faults the axon TPU runtime (kernel fault in
-the long nested-scan program); 5 steps x 3 timed reps measures the same
-steady-state throughput.
+BENCH_TASK (walk_imitation | flight_imitation). The round-1 axon
+runtime fault at batch 8192 with >= 10 scanned control steps no longer
+reproduces after the round-2 kernel rewrites (BENCH_STEPS=20 verified
+clean); 5 steps x 3 timed reps is just the wall-clock-friendly default
+and measures the same steady-state throughput.
 """
 
 import json

@@ -36,14 +36,20 @@ class VisNet(nn.Module):
     """Eye-image conv net (reference network_factory_vis.py:140-220).
 
     Separates walker/left_eye + walker/right_eye from the observation dict,
-    normalizes ((x - 77) / 56), stacks them as 2 channels, runs
+    normalizes ((x - mean) / std), stacks them as 2 channels, runs
     2->4->8->16-channel 3x3 convs (strides 1,1,2,2, VALID) + Linear(8), and
     concatenates [task_input, vis_out, batch_concat(rest)] in that order.
+
+    The reference normalizes with (77, 56) — the empirical pixel stats of
+    ITS EGL renderer (network_factory_vis.py:46-48). Our ray-traced eyes
+    have a brighter distribution (measured mean 131, std 76 over
+    vision_bumps rollouts), so the defaults here use the matching stats;
+    the conv stack still sees zero-mean/unit-variance inputs.
     """
 
     vis_output_dim: int = 8
-    mean: float = 77.0
-    std: float = 56.0
+    mean: float = 131.0
+    std: float = 76.0
 
     @nn.compact
     def __call__(self, observation: dict) -> jax.Array:

@@ -39,7 +39,12 @@ _PAIR_NCON = {
     (_s.GEOM_SPHERE, _s.GEOM_CYLINDER): 1,
     (_s.GEOM_CAPSULE, _s.GEOM_CAPSULE): 1,
     (_s.GEOM_CAPSULE, _s.GEOM_ELLIPSOID): 1,
-    (_s.GEOM_CAPSULE, _s.GEOM_CYLINDER): 1,
+    # MuJoCo's nativeccd deterministically emits 3 near-coincident points
+    # (spread ~6e-5 cm, identical dist — measured 260/260 occurrences
+    # over a 3000-step settled-fly rollout) for capsule-cylinder, which
+    # triples the effective contact stiffness; we replicate the 3-row
+    # manifold so solver-level forces match.
+    (_s.GEOM_CAPSULE, _s.GEOM_CYLINDER): 3,
     (_s.GEOM_ELLIPSOID, _s.GEOM_ELLIPSOID): 1,
     (_s.GEOM_ELLIPSOID, _s.GEOM_CYLINDER): 1,
     (_s.GEOM_CYLINDER, _s.GEOM_CYLINDER): 1,
@@ -466,6 +471,7 @@ def _mpr_handler(t1, t2):
     # Strictly convex (sphere-swept/ellipsoidal) pairs get a smooth-surface
     # polish after MPR; cylinder edges are non-smooth, so they do not.
     smooth_pair = _s.GEOM_CYLINDER not in (t1, t2)
+    k = _PAIR_NCON[(t1, t2)]
 
     def h(pg: PairGeo):
         # Under vmap on TPU this dispatches the VMEM-resident pallas MPR
@@ -474,6 +480,11 @@ def _mpr_handler(t1, t2):
         f = _mprk.make_mpr_pe(t1, t2, 8 if smooth_pair else 0)
         dist, n, pos = f(pg.pos1, pg.mat1, pg.size1, pg.mg1,
                          pg.pos2, pg.mat2, pg.size2, pg.mg2)
+        if k > 1:
+            # Replicated manifold rows (see _PAIR_NCON note).
+            return (jnp.repeat(dist[:, None], k, axis=1),
+                    jnp.repeat(pos[:, None], k, axis=1),
+                    jnp.repeat(n[:, None], k, axis=1))
         return dist[:, None], pos[:, None], n[:, None]
     return h
 
@@ -539,15 +550,21 @@ def _mpr_topp(model: FlyModel, data: Data, key, g1, g2,
     s2 = oh @ smcat2.astype(dtype)
     pg = PairGeo(pos1=pos1, mat1=mat1, size1=s1[:, :3], mg1=s1[:, 3],
                  pos2=pos2, mat2=mat2, size2=s2[:, :3], mg2=s2[:, 3])
-    d, p, n = _handler(key)(pg)  # (P, 1, ...)
+    d, p, n = _handler(key)(pg)  # (P, k, ...)
+    k = d.shape[1]
     covered = jnp.sum(oh, axis=0)  # (P_all,)
+    # MPR multi-row manifolds are replicated rows (identical per pair),
+    # so scatter row 0 and repeat — plane groups (whose rows differ)
+    # never route through this broadphase.
     d_full = oh.T @ d[:, 0] + 1e10 * (1.0 - covered)
     p_full = oh.T @ p[:, 0]
     n_full = oh.T @ n[:, 0]
     # Uncovered slots need a valid (unit) normal for frame construction.
     n_full = n_full + (1.0 - covered)[:, None] * jnp.asarray(
         [0.0, 0.0, 1.0], dtype)
-    return d_full[:, None], p_full[:, None], n_full[:, None]
+    return (jnp.repeat(d_full[:, None], k, axis=1),
+            jnp.repeat(p_full[:, None], k, axis=1),
+            jnp.repeat(n_full[:, None], k, axis=1))
 
 
 @functools.lru_cache(maxsize=8)
@@ -607,7 +624,7 @@ def collide(model: FlyModel, data: Data,
             poss.append(p)
             normals.append(nr)
             continue
-        if k == 1 and key[0] != _s.GEOM_PLANE and len(g1) > MPR_TOP_P:
+        if key[0] != _s.GEOM_PLANE and len(g1) > MPR_TOP_P:
             # Broadphase for the expensive iterative narrowphase: run MPR
             # only on the MPR_TOP_P closest pairs by bounding-sphere
             # distance; the rest are provably separated this step. Results

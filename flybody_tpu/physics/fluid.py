@@ -40,8 +40,9 @@ def _object_local_velocity(data, rootid, pos, mat, bodyid):
     ref = data.subtree_com[rootid]
     v_at = v + jnp.cross(w, pos - ref)
     matT = jnp.swapaxes(mat, -1, -2)
-    lw = (matT @ w[..., None])[..., 0]
-    lv = (matT @ v_at[..., None])[..., 0]
+    # mul+sum (batched 3x3 matvecs serialize on the MXU).
+    lw = jnp.sum(matT * w[..., None, :], axis=-1)
+    lv = jnp.sum(matT * v_at[..., None, :], axis=-1)
     return lw, lv
 
 
@@ -96,8 +97,8 @@ def _inertia_box_forces(model: FlyModel, data: Data,
     # Local velocity at the body inertial frame, minus wind.
     lw, lv = _object_local_velocity(data, tb['body_rootid'], data.xipos,
                                     data.ximat, np.arange(model.meta.nbody))
-    wind_local = (jnp.swapaxes(data.ximat, -1, -2)
-                  @ model.wind.astype(dtype)[:, None])[..., 0]
+    wind_local = jnp.sum(data.ximat * model.wind.astype(dtype)[:, None],
+                         axis=-2)
     lv = lv - wind_local
 
     # Viscous (Stokes-sphere) force/torque.
@@ -119,8 +120,8 @@ def _inertia_box_forces(model: FlyModel, data: Data,
     ], axis=-1)
 
     # Rotate to world, apply at body inertial com.
-    world_t = (data.ximat @ ltrq[..., None])[..., 0]
-    world_f = (data.ximat @ lfrc[..., None])[..., 0]
+    world_t = jnp.sum(data.ximat * ltrq[..., None, :], axis=-1)
+    world_f = jnp.sum(data.ximat * lfrc[..., None, :], axis=-1)
     bodymask = jnp.asarray(
         (~tb['body_uses_ellipsoid'])
         & (np.arange(model.meta.nbody) > 0), dtype)
@@ -158,8 +159,8 @@ def _ellipsoid_forces(model: FlyModel, data: Data, tb,
 
     lw, lv = _object_local_velocity(data, tb['geom_rootid'], data.geom_xpos,
                                     data.geom_xmat, tb['geom_bodyid'])
-    wind_local = (jnp.swapaxes(data.geom_xmat, -1, -2)
-                  @ model.wind.astype(dtype)[:, None])[..., 0]
+    wind_local = jnp.sum(data.geom_xmat * model.wind.astype(dtype)[:, None],
+                         axis=-2)
     lv = lv - wind_local
 
     # Added-mass ("virtual") momenta.
@@ -233,12 +234,13 @@ def _ellipsoid_forces(model: FlyModel, data: Data, tb,
         comps = {'fA': fA, 'fD': fD, 'fM': fM, 'fK': fK, 'fV': fV,
                  'gA': gA, 'gD': gD, 'gV': gV}
         R = data.geom_xmat
-        comps = {k: (R @ (v * interaction[:, None])[..., None])[..., 0]
+        comps = {k: jnp.sum(R * (v * interaction[:, None])[..., None, :],
+                            axis=-1)
                  for k, v in comps.items()}
 
     # Rotate to world, sum per body at geom positions.
-    world_t = (data.geom_xmat @ ltrq[..., None])[..., 0]
-    world_f = (data.geom_xmat @ lfrc[..., None])[..., 0]
+    world_t = jnp.sum(data.geom_xmat * ltrq[..., None, :], axis=-1)
+    world_f = jnp.sum(data.geom_xmat * lfrc[..., None, :], axis=-1)
 
     geommask = jnp.asarray(tb['geom_active'], dtype)
     root = tb['geom_rootid']

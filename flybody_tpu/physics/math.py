@@ -71,11 +71,16 @@ def spatial_inertia(mass: jax.Array, inertia_diag: jax.Array,
     Returns:
         [..., 6, 6] spatial inertia in (angular; linear) ordering.
     """
-    I_com = imat @ (inertia_diag[..., :, None] *
-                    jnp.swapaxes(imat, -1, -2))
+    # Broadcast mul+sum forms — batched 3x3 matmuls serialize on the MXU.
+    I_com = jnp.sum(imat[..., :, None, :] * imat[..., None, :, :]
+                    * inertia_diag[..., None, None, :], axis=-1)
     S = skew(com_offset)
     m = mass[..., None, None]
-    top_left = I_com + m * (S @ jnp.swapaxes(S, -1, -2))
+    # S S^T = |r|^2 I - r r^T for S = skew(r).
+    rr = com_offset[..., :, None] * com_offset[..., None, :]
+    r2 = jnp.sum(com_offset * com_offset, axis=-1)[..., None, None]
+    eye3 = jnp.eye(3, dtype=I_com.dtype)
+    top_left = I_com + m * (r2 * eye3 - rr)
     top_right = m * S
     bottom_left = -m * S
     bottom_right = m * jnp.broadcast_to(

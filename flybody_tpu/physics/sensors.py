@@ -100,8 +100,9 @@ def cfrc_int(model: FlyModel, data: Data, efc: _sol.EfcRows,
     dtype = data.qpos.dtype
     _, sub = _sensor_tables(model.meta)
     cacc = body_cacc(model, data)
-    Iv = jnp.einsum('bij,bj->bi', data.cinert, data.cvel)
-    h = jnp.einsum('bij,bj->bi', data.cinert, cacc) + sm.force_cross(
+    # mul+sum (batched 6x6 matvecs serialize on the MXU).
+    Iv = jnp.sum(data.cinert * data.cvel[:, None, :], axis=-1)
+    h = jnp.sum(data.cinert * cacc[:, None, :], axis=-1) + sm.force_cross(
         data.cvel, Iv)
     cfrc_ext = contact_body_wrenches(model, data, efc, f_c, terrain)
     if data.xfrc_applied is not None:

@@ -142,8 +142,9 @@ def rne(model: FlyModel, data: Data) -> Data:
     cacc = cacc + grav
 
     # Per-body Newton-Euler forces: f = I a + v ×* (I v).
-    Iv = jnp.einsum('bij,bj->bi', data.cinert, data.cvel)
-    f = jnp.einsum('bij,bj->bi', data.cinert, cacc) + sm.force_cross(
+    # mul+sum (batched 6x6 matvecs serialize on the MXU).
+    Iv = jnp.sum(data.cinert * data.cvel[:, None, :], axis=-1)
+    f = jnp.sum(data.cinert * cacc[:, None, :], axis=-1) + sm.force_cross(
         data.cvel, Iv)
 
     # Project into joint space: qfrc_bias_i = cdof_i · Σ_{b ⊇ i} f_b.

@@ -210,9 +210,11 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
         # 1024 and shrinks the one-hot gather GEMM from (K, S) to
         # (K, T*TILE) — the S-sized one-hot alone is ~2.3 GB of HBM at
         # batch 8192.
-        T = max(TILE, k)
         pad_len = (-S) % TILE
         nt = (S + pad_len) // TILE
+        # T = nt means all tiles are kept (still cheaper: the gathers and
+        # the second top_k stay tile-shaped).
+        T = min(max(TILE, k), nt)
         score_p = jnp.concatenate(
             [score, jnp.full((pad_len,), 1e10, dtype)])
         tiles = score_p.reshape(nt, TILE)

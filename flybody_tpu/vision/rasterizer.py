@@ -208,7 +208,8 @@ def _ray_terrain(origin, dirs, terrain, n_steps: int = 48,
 
 def render_scene(model: FlyModel, data, cam_pos, cam_mat, terrain=None,
                  size: int = 32, fovy: float = 150.0,
-                 floor_z: float | None = None):
+                 floor_z: float | None = None,
+                 return_depth: bool = False):
     """Ray-traced grayscale render from an arbitrary camera pose.
 
     cam_mat columns are the camera axes (x right, y up, looks along -z,
@@ -276,11 +277,17 @@ def render_scene(model: FlyModel, data, cam_pos, cam_mat, terrain=None,
     shade = jnp.clip((0.4 + 0.8 * diffuse) * albedo, 0.0, 1.0)
     background = 0.25  # dark sky (lights removed in the vision task)
     img = jnp.where(hit, shade, background) * 255.0
+    if return_depth:
+        # Along-ray hit distance (1e9 for misses) + the world ray dirs,
+        # for quantitative parity against mujoco.mj_ray ground truth.
+        return (img.reshape(size, size), t_best.reshape(size, size),
+                dirs.reshape(size, size, 3))
     return img.reshape(size, size)
 
 
 def render_eye(model: FlyModel, data, cam_id: int, terrain=None,
-               size: int = 32, fovy: float = 150.0):
+               size: int = 32, fovy: float = 150.0,
+               return_depth: bool = False):
     """Render one eye camera to a (size, size) grayscale image in 0..255."""
     meta = model.meta
     # Camera world pose.
@@ -290,7 +297,8 @@ def render_eye(model: FlyModel, data, cam_id: int, terrain=None,
         model.cam_pos[cam_id], data.xquat[b])
     cam_mat = quat.quat_to_mat(quat.mult_quat(data.xquat[b],
                                               model.cam_quat[cam_id]))
-    return render_scene(model, data, cam_pos, cam_mat, terrain, size, fovy)
+    return render_scene(model, data, cam_pos, cam_mat, terrain, size, fovy,
+                        return_depth=return_depth)
 
 
 def tracking_camera_pose(target, azimuth_deg=30.0, elevation_deg=-25.0,

@@ -213,6 +213,60 @@ def test_limits_engage(models):
         m.opt.disableflags &= ~int(mujoco.mjtDisableBit.mjDSBL_CONTACT)
 
 
+@pytest.mark.parametrize('z0', [0.1278, 0.11, 0.08])
+def test_settled_constraint_force_parity(models, z0):
+    """Tight qfrc_constraint parity on deeply settled poses (all drop
+    heights), WITH noslip and the full contact manifold.
+
+    This replaces the round-1 'near-null direction' caveat: with the
+    capsule-cylinder 3-row manifold the constraint FORCES match MuJoCo to
+    ~2e-4 relative. qacc itself remains an amplified quantity at settled
+    equilibria — an O(1e-4) force difference pushed through the inverse
+    inertia of milligram-scale limbs (principal inertias ~1e-9 g cm^2)
+    moves qacc by O(100) rad/s^2, for MuJoCo-vs-MuJoCo fp-level
+    perturbations just as for ours — so force space is the right place
+    to assert parity."""
+    fly, m = models
+    d = mujoco.MjData(m)
+    d.qpos[:] = m.qpos0
+    d.qpos[2] = z0
+    for _ in range(2000):
+        mujoco.mj_step(m, d)
+    mujoco.mj_forward(m, d)
+    data = make_data(fly).replace(qpos=jnp.asarray(d.qpos.copy()),
+                                  qvel=jnp.asarray(d.qvel.copy()))
+    out = engine.fwd(fly, data, solver_iterations=25, ls_iterations=14)
+    qf = np.asarray(out.qfrc_constraint)
+    scale = np.abs(d.qfrc_constraint).max()
+    rel = np.abs(qf - d.qfrc_constraint).max() / scale
+    assert rel < 1e-3, rel
+
+
+def test_capsule_cylinder_manifold_rows(models, settled):
+    """Capsule-cylinder contacts emit MuJoCo's 3-row manifold (nativeccd
+    deterministically produces 3 near-coincident points — measured
+    260/260 over a 3000-step rollout — tripling effective stiffness)."""
+    fly, m = models
+    qpos, _ = settled
+    d = mujoco.MjData(m)
+    d.qpos[:] = qpos
+    mujoco.mj_forward(m, d)
+    mj_cc = sum(1 for i in range(d.ncon)
+                if {int(m.geom_type[d.contact[i].geom1]),
+                    int(m.geom_type[d.contact[i].geom2])} == {3, 5})
+    con, data = _collide(fly, qpos)
+    params = collision.slot_params(fly, False)
+    tb = collision.pair_tables(fly.meta)
+    gt = np.array(fly.meta.geom_type)
+    act = np.asarray(con.dist) < np.asarray(params.includemargin)
+    ours_cc = 0
+    for i in np.where(act)[0]:
+        g1, g2 = tb['slot_geom1'][i], tb['slot_geom2'][i]
+        if g1 >= 0 and {int(gt[g1]), int(gt[g2])} == {3, 5}:
+            ours_cc += 1
+    assert mj_cc > 0 and ours_cc == mj_cc, (ours_cc, mj_cc)
+
+
 def test_settle_trajectory(models):
     """Dropped fly settles like MuJoCo: statistical trajectory parity."""
     fly, m = models

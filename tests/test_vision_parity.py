@@ -1,0 +1,138 @@
+"""Eye-camera fidelity: rasterizer depth maps vs mujoco.mj_ray ground
+truth (VERDICT round-1 item 6).
+
+No GL backend exists in this image, so instead of comparing shaded
+renders we compare per-pixel ray-hit DEPTH — which is what the vision
+task's reward/termination actually depends on (terrain profile, horizon,
+body silhouette). mujoco.mj_ray casts against the same collision
+primitives the rasterizer draws (geom groups 4-5) plus the hfield, with
+no GL involved.
+
+Known modeled deviation: wing-membrane cylinders are rendered as
+ellipsoids (rasterizer.py); pixels whose ground-truth hit is a cylinder
+are excluded from the strict depth comparison.
+"""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+from flybody_tpu.model import compile as mc
+from flybody_tpu.physics import kinematics as kin
+from flybody_tpu.physics.state import make_data
+from flybody_tpu.vision import hfield as hf
+from flybody_tpu.vision import rasterizer as ras
+
+HF_ASSET = (
+    '<asset><hfield name="terrain" nrow="{res}" ncol="{res}" '
+    'size="{half} {half} {zmax} 0.001"/></asset>'
+    '<worldbody><geom name="terrain" type="hfield" hfield="terrain" '
+    'group="4" pos="0 0 0"/>')
+
+
+@pytest.fixture(scope='module')
+def scene():
+    terrain, _ = hf.sine_bumps_terrain(jax.random.PRNGKey(0))
+    terrain = np.asarray(terrain, np.float64)
+    zmax = float(terrain.max())
+    xml, assets = mc.fly_xml_and_assets()
+    xml = xml.replace(
+        '<worldbody>',
+        HF_ASSET.format(res=hf.RES, half=hf.ARENA_HALF_SIZE, zmax=zmax), 1)
+    fly, m = mc.build_fly_model(xml, assets)
+    # MuJoCo hfield_data is row-major normalized [0, 1] * zmax.
+    m.hfield_data[:] = (terrain / zmax).reshape(-1)
+    d = mujoco.MjData(m)
+    d.qpos[:] = m.qpos0
+    d.qpos[2] = 1.2  # mid-flight over the bumps
+    mujoco.mj_forward(m, d)
+    data = make_data(fly).replace(qpos=jnp.asarray(d.qpos.copy()))
+    data, _, _ = kin.fwd_position_smooth(fly, data)
+    return fly, m, d, data, jnp.asarray(terrain)
+
+
+@pytest.mark.parametrize('eye', ['eye_left', 'eye_right'])
+def test_eye_depth_parity_vs_mj_ray(scene, eye):
+    fly, m, d, data, terrain = scene
+    cams = ras._render_tables(fly.meta)[3]
+    cid = cams[eye]
+    img, t_map, dirs = ras.render_eye(fly, data, cid, terrain=terrain,
+                                      return_depth=True)
+    b = fly.meta.cam_bodyid[cid]
+    from flybody_tpu.utils import quaternions as quat
+    cam_pos = np.asarray(
+        data.xpos[b] + quat.rotate_vec_with_quat(
+            fly.cam_pos[cid], data.xquat[b]))
+
+    t_map = np.asarray(t_map).reshape(-1)
+    dirs = np.asarray(dirs).reshape(-1, 3)
+    # Collision primitives + hfield only (groups 4, 5).
+    geomgroup = np.zeros(6, np.uint8)
+    geomgroup[4] = 1
+    geomgroup[5] = 1
+    gid = np.zeros(1, np.int32)
+    t_ref = np.full(t_map.shape, np.inf)
+    hit_type = np.full(t_map.shape, -1)
+    for i in range(len(dirs)):
+        v = dirs[i] / np.linalg.norm(dirs[i])
+        # bodyexclude: the camera sits inside its own head/eye geom,
+        # which mj_ray would otherwise report for every pixel.
+        dist = mujoco.mj_ray(m, d, cam_pos, v, geomgroup, 1, int(b),
+                             gid)
+        if dist >= 0:
+            t_ref[i] = dist
+            hit_type[i] = m.geom_type[gid[0]]
+
+    hit_ours = t_map < 1e8
+    hit_ref = np.isfinite(t_ref)
+    # Silhouette (hit mask) agreement.
+    iou = ((hit_ours & hit_ref).sum()
+           / max((hit_ours | hit_ref).sum(), 1))
+    assert iou > 0.93, iou
+    # Depth parity on common hits, excluding cylinder ground truth
+    # (modeled as ellipsoids) and grazing near-silhouette pixels.
+    common = hit_ours & hit_ref & (hit_type != 5)
+    rel = np.abs(t_map[common] - t_ref[common]) / t_ref[common]
+    assert np.median(rel) < 0.01, np.median(rel)
+    assert (rel < 0.05).mean() > 0.9, (rel < 0.05).mean()
+
+
+def test_horizon_row_parity(scene):
+    """The terrain/sky boundary (horizon) sits on the same pixel rows."""
+    fly, m, d, data, terrain = scene
+    cams = ras._render_tables(fly.meta)[3]
+    for eye, cid in cams.items():
+        img, t_map, dirs = ras.render_eye(fly, data, cid, terrain=terrain,
+                                          return_depth=True)
+        t_map = np.asarray(t_map)
+        dirs_np = np.asarray(dirs)
+        cam_pos = None
+        # Use ray direction z-sign as the analytic horizon reference:
+        # far-terrain hits happen iff the ray eventually descends below
+        # terrain max; compare our per-column first-hit row against
+        # mj_ray's (coarse, +-2 rows).
+        geomgroup = np.zeros(6, np.uint8)
+        geomgroup[4] = 1
+        geomgroup[5] = 1
+        gid = np.zeros(1, np.int32)
+        b = fly.meta.cam_bodyid[cid]
+        from flybody_tpu.utils import quaternions as quat
+        cam_pos = np.asarray(
+            data.xpos[b] + quat.rotate_vec_with_quat(
+                fly.cam_pos[cid], data.xquat[b]))
+        ours_hit = t_map < 1e8
+        for col in range(0, 32, 8):
+            ref_rows = []
+            for row in range(32):
+                v = dirs_np[row, col]
+                v = v / np.linalg.norm(v)
+                dist = mujoco.mj_ray(m, d, cam_pos, v, geomgroup, 1,
+                                     int(b), gid)
+                ref_rows.append(dist >= 0)
+            ref_first = next((r for r in range(32) if ref_rows[r]), 32)
+            ours_first = next(
+                (r for r in range(32) if ours_hit[r, col]), 32)
+            assert abs(ref_first - ours_first) <= 2, (col, ref_first,
+                                                      ours_first)
