@@ -439,3 +439,93 @@ def build_walker(config: WalkerConfig, fly: FlyXml | None = None) -> FlyXml:
     fly.set_filters(config.joint_filter, config.adhesion_filter,
                     config.dyntype_filterexact)
     return fly
+
+
+# ---------------------------------------------------------------------------
+# Multi-fly scenes (counterpart of the reference's add_flyid_labels.py
+# __flyid__ templating, reference build_fruitfly/add_flyid_labels.py).
+
+# Attributes that carry cross-references to named elements, per tag.
+_NAME_REF_ATTRS = ('joint', 'tendon', 'site', 'body', 'objname', 'target',
+                   'body1', 'body2', 'geom1', 'geom2', 'prefix')
+
+
+def _prefix_names(elem, prefix: str, skip_attrs=('class', 'childclass',
+                                                 'mesh', 'material',
+                                                 'hfield')):
+    """Prefix every name + name-reference in `elem`'s subtree. Shared
+    assets (meshes/materials) and defaults classes stay unprefixed."""
+    for e in elem.iter():
+        n = e.get('name')
+        if n is not None:
+            e.set('name', prefix + n)
+        for attr in _NAME_REF_ATTRS:
+            v = e.get(attr)
+            if v is not None and attr not in skip_attrs:
+                e.set(attr, prefix + v)
+
+
+def flyid_template_xml(flyid: str = '__flyid__'):
+    """Single-fly XML with every name prefixed '<flyid>/' — string-replace
+    the id to stamp out per-fly copies (reference add_flyid_labels.py
+    semantics). Returns (xml, assets)."""
+    fly = FlyXml()
+    prefix = flyid + '/'
+    wb = fly.root.find('worldbody')
+    _prefix_names(wb, prefix)
+    for section in ('tendon', 'actuator', 'sensor', 'contact'):
+        sec = fly.root.find(section)
+        if sec is not None:
+            _prefix_names(sec, prefix)
+    return etree.tostring(fly.root, pretty_print=True).decode(), fly.assets
+
+
+def multi_fly_xml(n_flies: int, spacing: float = 1.0):
+    """A combined scene with `n_flies` complete flies, each with all
+    elements name-prefixed 'fly<i>/' and spawned in a row along y.
+
+    Goes beyond the reference's labeling script: the result compiles
+    directly (mc.build_fly_model) into one FlyModel whose engine step
+    simulates all flies, including inter-fly collision pairs. Returns
+    (xml, assets)."""
+    import copy
+
+    base = FlyXml()
+    wb = base.root.find('worldbody')
+    # The fly subtree = the (single) top-level body under worldbody.
+    fly_bodies = [e for e in wb if e.tag == 'body']
+    assert len(fly_bodies) == 1, [e.get('name') for e in fly_bodies]
+    proto_body = fly_bodies[0]
+    proto_sections = {}
+    for section in ('tendon', 'actuator', 'sensor', 'contact'):
+        sec = base.root.find(section)
+        if sec is not None:
+            proto_sections[section] = copy.deepcopy(sec)
+
+    # Reset the template: drop the original fly + per-fly sections.
+    wb.remove(proto_body)
+    for section in proto_sections:
+        sec = base.root.find(section)
+        if sec is not None:
+            base.root.remove(sec)
+
+    for i in range(n_flies):
+        prefix = f'fly{i}/'
+        body = copy.deepcopy(proto_body)
+        _prefix_names(body, prefix)
+        pos = _parse_vec(body.get('pos'), (0.0, 0.0, 0.0))
+        body.set('pos', _fmt([pos[0], pos[1] + i * spacing, pos[2]]))
+        wb.append(body)
+        for section, proto in proto_sections.items():
+            sec = base.root.find(section)
+            if sec is None:
+                sec = etree.SubElement(base.root, section)
+            for child in proto:
+                c = copy.deepcopy(child)
+                _prefix_names(c, prefix)
+                # _prefix_names prefixes only subtree element names; the
+                # copied child's own refs are handled there too since
+                # iter() includes the element itself.
+                sec.append(c)
+
+    return etree.tostring(base.root, pretty_print=True).decode(), base.assets

@@ -149,13 +149,15 @@ def pair_tables(meta: _s.Meta, terrain: bool = False):
 
 @functools.lru_cache(maxsize=8)
 def self_pair_mask(meta: _s.Meta, terrain: bool = False):
-    """Slot mask: both geoms rooted at the fly's kinematic root (thorax
-    subtree), i.e. fly-self contacts (reference fruitfly.py:694-700)."""
+    """Slot mask: both geoms rooted at the SAME non-world kinematic root,
+    i.e. fly-self contacts (reference fruitfly.py:694-700). Root-equality
+    (rather than a thorax lookup) keeps the semantics per-fly in
+    multi-fly scenes."""
     tb = pair_tables(meta, terrain)
     root = np.array(meta.body_rootid)
-    fly_root = root[meta.body_names.index('thorax')]
-    return ((root[tb['slot_body1']] == fly_root)
-            & (root[tb['slot_body2']] == fly_root))
+    r1 = root[tb['slot_body1']]
+    r2 = root[tb['slot_body2']]
+    return (r1 == r2) & (r1 != 0)
 
 
 @struct.dataclass

@@ -86,3 +86,37 @@ def test_num_user_actions_bounds():
     tables = walker_lib.build_tables(model.meta, num_user_actions=3)
     lo, hi = walker_lib.action_bounds(model, tables)
     assert (lo[-3:] == -1).all() and (hi[-3:] == 1).all()
+
+
+def test_flyid_template_and_multi_fly_scene():
+    """Multi-fly capability (reference add_flyid_labels.py counterpart):
+    the template prefixes every name, and a 2-fly scene compiles into one
+    FlyModel and steps finitely with per-fly self-contact masks."""
+    import jax.numpy as jnp
+    import numpy as np
+    from flybody_tpu.model import compile as mc
+    from flybody_tpu.model import surgery
+    from flybody_tpu.physics import collision, engine
+    from flybody_tpu.physics.state import make_data
+
+    xml_t, _ = surgery.flyid_template_xml()
+    assert '__flyid__/thorax' in xml_t
+    assert '__flyid__/claw_T1_left' in xml_t
+
+    xml, assets = surgery.multi_fly_xml(2)
+    fly, m = mc.build_fly_model(xml, assets)
+    assert fly.meta.nq == 2 * 109 and fly.meta.nv == 2 * 108
+    assert m.nu == 2 * 78
+    assert 'fly0/thorax' in fly.meta.body_names
+    assert 'fly1/thorax' in fly.meta.body_names
+    out = engine.step(fly, make_data(fly), solver_iterations=2,
+                      ls_iterations=2)
+    assert np.isfinite(np.asarray(out.qpos)).all()
+    # Self mask: intra-fly pairs only (fly0-fly1 cross pairs excluded).
+    tb = collision.pair_tables(fly.meta)
+    selfm = collision.self_pair_mask(fly.meta)
+    root = np.array(fly.meta.body_rootid)
+    cross = (root[tb['slot_body1']] != root[tb['slot_body2']]) & \
+        (root[tb['slot_body1']] != 0) & (root[tb['slot_body2']] != 0)
+    assert cross.sum() > 0  # inter-fly collision pairs exist
+    assert not (selfm & cross).any()
