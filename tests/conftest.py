@@ -16,5 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if os.environ.get("FLYBODY_TPU_TESTS"):
+    # Opt-in accelerator lane (tests/test_tpu_kernels.py): run compiled
+    # (non-interpret) pallas kernels on whatever accelerator is present
+    # so Mosaic miscompiles are caught by a test, not a training crash.
+    # Everything else skips itself under this lane (no x64 on TPU).
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,113 @@
+"""Opt-in accelerator lane: compiled (non-interpret) pallas kernels vs
+their jnp references on the real device.
+
+CPU CI runs the kernels in interpret mode only (tests/test_ops.py),
+which can never catch a Mosaic-side miscompile (round-1 hit one: "Mosaic
+miscompiles large mixed f32/i1 loop carries"). This lane runs the actual
+compiled kernels and is gated so it only executes when explicitly
+requested on a machine with an accelerator:
+
+    FLYBODY_TPU_TESTS=1 python -m pytest tests/test_tpu_kernels.py -q
+
+(The env var also stops conftest.py from forcing the CPU platform.)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+if not os.environ.get('FLYBODY_TPU_TESTS'):
+    pytest.skip('set FLYBODY_TPU_TESTS=1 to run the compiled-kernel lane',
+                allow_module_level=True)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+if jax.default_backend() != 'tpu':
+    pytest.skip('no TPU backend present', allow_module_level=True)
+
+from flybody_tpu.ops import cholesky as pchol  # noqa: E402
+
+
+@pytest.fixture(scope='module')
+def spd():
+    rng = np.random.RandomState(0)
+    B, n = 256, 108
+    A = jnp.asarray(rng.randn(B, n, 4 * n), jnp.float32)
+    M = (jnp.einsum('bij,bkj->bik', A, A) / (4 * n)
+         + 10.0 * jnp.eye(n, dtype=jnp.float32))
+    b = jnp.asarray(rng.randn(B, n), jnp.float32)
+    return M, b
+
+
+def test_compiled_chol_and_solves(spd):
+    M, b = spd
+    import jax.scipy.linalg as jsl
+    L = np.asarray(jax.jit(pchol.chol)(M))
+    L_ref = np.asarray(jnp.linalg.cholesky(M))
+    np.testing.assert_allclose(L, L_ref, atol=5e-4, rtol=5e-3)
+    x = np.asarray(jax.jit(pchol.cho_solve)(jnp.asarray(L), b))
+    x_ref = np.asarray(jsl.cho_solve((jnp.asarray(L_ref), True),
+                                     b[..., None])[..., 0])
+    np.testing.assert_allclose(x, x_ref, atol=1e-3, rtol=1e-2)
+    # Fused factor+solve and multi-RHS.
+    Lf, xf = jax.jit(pchol.chol_solve)(M, b)
+    np.testing.assert_allclose(np.asarray(xf), x_ref, atol=1e-3,
+                               rtol=1e-2)
+    R = jnp.asarray(np.random.RandomState(1).randn(M.shape[0], 108, 16),
+                    jnp.float32)
+    X = np.asarray(jax.jit(pchol.cho_solve_multi)(jnp.asarray(L_ref), R))
+    X_ref = np.asarray(jsl.cho_solve((jnp.asarray(L_ref), True), R))
+    np.testing.assert_allclose(X, X_ref, atol=2e-3, rtol=1e-2)
+
+
+def test_compiled_linesearch():
+    from flybody_tpu.ops import linesearch as pls
+    rng = np.random.RandomState(7)
+    B, L, K = 128, 24, 16
+    lim = jnp.asarray(np.stack([
+        rng.randn(B, L), rng.randn(B, L),
+        (rng.rand(B, L) < 0.5).astype(float),
+        rng.rand(B, L) * 100.0], axis=1), jnp.float32)
+    con = jnp.asarray(np.concatenate([
+        rng.randn(B, 3, K), rng.randn(B, 3, K),
+        0.2 + rng.rand(B, 1, K),
+        (rng.rand(B, 1, K) < 0.8).astype(float),
+        (rng.rand(B, 1, K) < 0.7).astype(float),
+        rng.rand(B, 1, K) * 100.0], axis=1), jnp.float32)
+    sc = jnp.asarray(np.stack([
+        -np.abs(rng.randn(B, 1)) * 10.0,
+        np.abs(rng.randn(B, 1)) * 5.0 + 1.0], axis=1), jnp.float32)
+    f = pls.make_ls_pe(6, 6)
+    got = np.asarray(jax.jit(jax.vmap(f))(lim, con, sc))
+    ref = np.asarray(jax.jit(jax.vmap(
+        lambda l, c, s: pls.alpha_ref(l, c, s, 6, 6)))(lim, con, sc))
+    # f32 reduction-order flips near zero slopes allowed.
+    close = np.isclose(got, ref, rtol=2e-2, atol=1e-3)
+    assert close.mean() > 0.95, close.mean()
+
+
+def test_compiled_engine_step_finite():
+    """Full engine step (all pallas kernels live) at a modest batch."""
+    from flybody_tpu.envs import fly_envs
+    from flybody_tpu.physics import engine
+    from flybody_tpu.physics.state import make_data
+    model = fly_envs._walking_model(False, True, 0.01)
+    model = jax.tree.map(
+        lambda x: (jnp.asarray(x, jnp.float32)
+                   if hasattr(x, 'dtype') and
+                   jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                   else jnp.asarray(x)), model)
+    B = 256
+    qpos = jnp.tile(model.qpos0[None], (B, 1))
+    qpos = qpos + 0.01 * jax.random.normal(jax.random.PRNGKey(0),
+                                           qpos.shape, jnp.float32)
+    d = jax.vmap(lambda q: make_data(model).replace(qpos=q))(qpos)
+    step = jax.jit(jax.vmap(lambda dd: engine.step(
+        model, dd, solver_iterations=8, ls_iterations=6,
+        refactor_period=4, ncon_max=32, noslip_contacts=16).strip()))
+    for _ in range(3):
+        d = step(d)
+    assert np.isfinite(np.asarray(d.qpos)).all()
+    assert np.isfinite(np.asarray(d.qvel)).all()
