@@ -9,6 +9,12 @@ Run on CPU (no TPU needed):
     python examples/01_getting_started.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere without install
+
 import jax
 
 jax.config.update('jax_platforms', 'cpu')  # comment out to use the TPU

@@ -8,6 +8,12 @@ evaluates the mean policy.
     python examples/02_train_dmpo.py --cpu      # tiny CPU demo
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run from anywhere without install
+
 import argparse
 import sys
 
