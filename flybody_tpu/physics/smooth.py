@@ -101,24 +101,46 @@ def crb(model: FlyModel, data: Data) -> Data:
     return data.replace(qM=M)
 
 
+def arrow_ops(meta: _s.Meta):
+    """Block-arrow factor/solve ops for this tree, or None (dense path).
+
+    The fly's 12-limb tree factors ~26x cheaper in block-arrow form
+    (ops/arrow.py); FLYBODY_NO_ARROW=1 forces dense for A/B testing."""
+    from flybody_tpu.ops import arrow as _ar
+    if not _ar.enabled():
+        return None
+    part = _ar.build_partition(meta)
+    if part is None:
+        return None
+    return _ar.ops_for(part)
+
+
 def factor_m(model: FlyModel, data: Data,
              extra_diag: jax.Array | None = None) -> Data:
     """Cholesky factorization of (qM + diag(extra_diag)).
 
-    Uses the pallas lane-batched kernel under vmap on TPU
-    (ops/cholesky.py); qLD holds a clean lower-triangular factor."""
-    from flybody_tpu.ops import cholesky as _pchol
+    Block-arrow factorization when the tree supports it (ops/arrow.py),
+    dense pallas Cholesky otherwise (ops/cholesky.py). The factor kind
+    is carried in qLD's rank: (nv, nv) dense vs (nl+1, dm+nr, dm)
+    packed arrow."""
     M = data.qM
     if extra_diag is not None:
         M = M + jnp.diag(extra_diag)
+    aops = arrow_ops(model.meta)
+    if aops is not None:
+        return data.replace(qLD=aops.chol_pe(M))
+    from flybody_tpu.ops import cholesky as _pchol
     return data.replace(qLD=_pchol.chol_pe(M))
 
 
 def solve_m(model: FlyModel, data: Data, rhs: jax.Array) -> jax.Array:
-    """Solve qM x = rhs using the cached Cholesky factor. Vector rhs
-    takes the single-RHS pallas substitution kernel; matrix rhs the
-    multi-RHS kernel (XLA's batched triangular solves run ~10x slower at
-    batch 8192 — measured v5e)."""
+    """Solve qM x = rhs using the cached factor (dense or arrow-packed;
+    distinguished by qLD rank). Vector rhs takes the single-RHS pallas
+    substitution kernel; matrix rhs the multi-RHS kernel (XLA's batched
+    triangular solves run ~10x slower at batch 8192 — measured v5e)."""
+    if data.qLD.ndim == 3:  # packed arrow factor
+        aops = arrow_ops(model.meta)
+        return aops.solve_pe(data.qLD, rhs)
     from flybody_tpu.ops import cholesky as _pchol
     if rhs.ndim == 1:
         return _pchol.cho_solve_pe(data.qLD, rhs)
@@ -421,9 +443,13 @@ def euler(model: FlyModel, data: Data) -> Data:
                                if data.qfrc_constraint is not None
                                else jnp.zeros_like(data.qfrc_smooth))
     # Fused factor+solve of the damped system (one VMEM pass).
-    from flybody_tpu.ops import cholesky as _pchol
     Md = data.qM + jnp.diag(dt * model.dof_damping.astype(qfrc.dtype))
-    qLD, qacc = _pchol.chol_solve_pe(Md, qfrc)
+    aops = arrow_ops(model.meta)
+    if aops is not None:
+        qLD, qacc = aops.chol_solve_pe(Md, qfrc)
+    else:
+        from flybody_tpu.ops import cholesky as _pchol
+        qLD, qacc = _pchol.chol_solve_pe(Md, qfrc)
     data = data.replace(qLD=qLD)
     act = _advance_act(model, data, dt)
     qvel = data.qvel + dt * qacc

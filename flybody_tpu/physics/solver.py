@@ -97,6 +97,11 @@ class EfcRows(NamedTuple):
     con_body1: jax.Array  # (K,) int32
     con_body2: jax.Array  # (K,) int32
     con_self: jax.Array  # (K,) 1.0 for fly-self contacts
+    # 1.0 for rows whose Jacobian couples two DIFFERENT limbs of the
+    # block-arrow tree partition (ops/arrow.py) — e.g. leg-leg self
+    # contacts. These rows ride a low-rank Woodbury correction on the
+    # arrow Newton factor instead of the block-sparse Hessian.
+    con_break: jax.Array  # (K,)
 
 
 @functools.lru_cache(maxsize=8)
@@ -301,6 +306,19 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
     con_JT = con_J.reshape(-1, meta.nv).T  # (nv, 3K)
 
     # aref / D.
+    # Cross-limb coupling flag for the block-arrow Newton path: limb ids
+    # via the existing body one-hots (GEMM, not a traced gather).
+    from flybody_tpu.ops import arrow as _arrow
+    part = _arrow.build_partition(meta) if _arrow.enabled() else None
+    if part is not None:
+        limb_f = jnp.asarray(np.array(part.limb_of_body, np.float64), dtype)
+        l1 = oh_b1 @ limb_f
+        l2 = oh_b2 @ limb_f
+        c_break = ((jnp.abs(l1 - l2) > 0.5) & (l1 > -0.5)
+                   & (l2 > -0.5)).astype(dtype)
+    else:
+        c_break = jnp.zeros_like(c_mu)
+
     r_c = c_dist - c_incl
     K_c, B_c, imp_c = kbi(c_solref, c_solimp, r_c)
     vel_c = (con_J.reshape(-1, meta.nv) @ data.qvel).reshape(-1, 3)
@@ -319,7 +337,7 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
         con_mu=c_mu, con_aref=con_aref, con_D=con_D, con_pos=c_dist,
         con_sel=sel,
         con_xpos=c_pos, con_normal=c_n, con_body1=c_body1,
-        con_body2=c_body2, con_self=c_self,
+        con_body2=c_body2, con_self=c_self, con_break=c_break,
     )
 
 
@@ -411,6 +429,27 @@ def _constraint_cost_grad_hess(efc: EfcRows, x, qvel_dummy=None):
     return jar_l, f_l, jar_c, f_c
 
 
+def _chol3_psd(W):
+    """Closed-form lower Cholesky of PSD (S, 3, 3) blocks.
+
+    Zero pivots produce zero rows (exact for PSD: a zero pivot forces
+    its whole row/column to zero), so inactive / projection-top-zone
+    cone Hessians factor to G = 0 and drop out of the Woodbury term."""
+    w11 = jnp.maximum(W[:, 0, 0], 0.0)
+    a = jnp.sqrt(w11)
+    ia = jnp.where(a > 1e-12, 1.0 / jnp.maximum(a, 1e-30), 0.0)
+    b = W[:, 1, 0] * ia
+    c = W[:, 2, 0] * ia
+    d = jnp.sqrt(jnp.maximum(W[:, 1, 1] - b * b, 0.0))
+    idd = jnp.where(d > 1e-12, 1.0 / jnp.maximum(d, 1e-30), 0.0)
+    e = (W[:, 2, 1] - c * b) * idd
+    f = jnp.sqrt(jnp.maximum(W[:, 2, 2] - c * c - e * e, 0.0))
+    z = jnp.zeros_like(a)
+    return jnp.stack([jnp.stack([a, z, z], -1),
+                      jnp.stack([b, d, z], -1),
+                      jnp.stack([c, e, f], -1)], -2)
+
+
 def _primal_cost(efc: EfcRows, M, a_free, x):
     """Primal objective 0.5(x-a_free)^T M (x-a_free) + s(Jx - aref)."""
     dx = x - a_free
@@ -465,6 +504,15 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
     lim_dof_idx, lim_sign_st, _ = _limit_tables(model.meta)
     efc = efc._replace(lim_dof=lim_dof_idx, lim_sign=lim_sign_st)
 
+    # Block-arrow Newton: arrow-compatible contact rows (single limb +
+    # root) go into the block-sparse Hessian; cross-limb rows ride a
+    # low-rank Woodbury correction (see below).
+    from flybody_tpu.ops import arrow as _arrow
+    part = _arrow.build_partition(model.meta) if _arrow.enabled() else None
+    aops = _arrow.ops_for(part) if part is not None else None
+    hess_active = (efc.con_active * (1.0 - efc.con_break)
+                   if aops is not None else efc.con_active)
+
     def grad_and_hess(x):
         jar_l, f_l, jar_c, f_c = _constraint_cost_grad_hess(efc, x)
         # Gradient: M(x - a_free) - J^T f (JT GEMV, no transpose). Limit
@@ -479,7 +527,7 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         hd = efc.lim_D * act_l
         hd_dof = jnp.zeros(nv, dtype).at[lim_dof_idx].add(hd)
         Hc = _cone_hessian(jar_c, efc.con_mu, efc.con_frictional,
-                           efc.con_active) * efc.con_D[:, None, None]
+                           hess_active) * efc.con_D[:, None, None]
         # (Hc J) via broadcast mul+sum (tiny batched 3x3 matmuls
         # serialize on the MXU); the outer product is one native GEMM.
         JH = jnp.sum(Hc[:, :, :, None] * efc.con_J[:, None, :, :], axis=2)
@@ -538,19 +586,73 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
     from flybody_tpu.ops import cholesky as _pchol
     eye = jnp.eye(nv, dtype=dtype)
 
-    def fresh_step(x):
+    if aops is not None:
+        # Static budget of cross-limb rows carried exactly by Woodbury;
+        # overflow rows stay in the gradient/cost (same fixed point) but
+        # drop out of the Hessian — the exact line search keeps descent.
+        SB = min(8, K)
+        brk = efc.con_break * efc.con_active
+        score_b = jnp.where(brk > 0, efc.con_pos,
+                            jnp.full_like(efc.con_pos, 1e10))
+        _, bsel = jax.lax.top_k(-score_b, SB)
+        ohb = jax.nn.one_hot(bsel, K, dtype=dtype)  # (SB, K)
+        Vb = (ohb @ efc.con_J.reshape(K, 3 * nv)).reshape(SB, 3, nv)
+        Vb2 = Vb.reshape(3 * SB, nv)
+        mub = ohb @ efc.con_mu
+        Db = ohb @ efc.con_D
+        fricb = ohb @ efc.con_frictional
+        actb = ohb @ brk
+        arefb = ohb @ efc.con_aref
+        eye_sb = jnp.eye(3 * SB, dtype=dtype)
+
+    def fresh_step_arrow(x):
+        """Arrow Newton step: block-sparse factor of the compatible part
+        + rank-3*SB Woodbury correction for cross-limb contact rows:
+        H = A + U U^T  =>  H^-1 b = t - Z (I + U^T Z)^-1 U^T t with
+        t = A^-1 b, Z = A^-1 U (one fused multi-RHS arrow solve)."""
+        g, H = grad_and_hess(x)
+        jar_b = (Vb2 @ x).reshape(SB, 3) - arefb
+        Wb = _cone_hessian(jar_b, mub, fricb, actb) * Db[:, None, None]
+        G = _chol3_psd(Wb)  # (SB, 3, 3) lower
+        # U columns = (G^T J)_s rows: U (nv, 3*SB).
+        Vt = jnp.sum(G[:, :, :, None] * Vb[:, :, None, :], axis=1)
+        U = Vt.reshape(3 * SB, nv).T
+        rhs = jnp.concatenate([g[:, None], U], axis=1)
+        F, sol = aops.chol_solve_pe(H + 1e-12 * eye, rhs)
+        t = sol[:, 0]
+        Z = sol[:, 1:]
+        C = eye_sb + U.T @ Z
+        LC = _pchol.chol_pe(C + 1e-10 * eye_sb)
+        w = _pchol.cho_solve_pe(LC, U.T @ t)
+        dx = -(t - Z @ w)
+        return x + line_search(x, dx) * dx, (F, Z, LC, U)
+
+    def reuse_step_arrow(x, fac):
+        F, Z, LC, U = fac
+        g = grad_only(x)
+        t = aops.solve_pe(F, g)
+        w = _pchol.cho_solve_pe(LC, U.T @ t)
+        dx = -(t - Z @ w)
+        return x + line_search(x, dx) * dx
+
+    def fresh_step_dense(x):
         """Newton step with fresh Hessian assembly + fused factor/solve."""
         g, H = grad_and_hess(x)
         L, sol = _pchol.chol_solve_pe(H + 1e-12 * eye, g)
         dx = -sol
         return x + line_search(x, dx) * dx, L
 
-    def reuse_step(x, L):
+    def reuse_step_dense(x, L):
         """Newton step reusing the last factor: gradient + substitution
         only (no Hessian assembly, no factorization)."""
         g = grad_only(x)
         dx = -_pchol.cho_solve_pe(L, g)
         return x + line_search(x, dx) * dx
+
+    if aops is not None:
+        fresh_step, reuse_step = fresh_step_arrow, reuse_step_arrow
+    else:
+        fresh_step, reuse_step = fresh_step_dense, reuse_step_dense
 
     # NOTE: a tolerance-based lax.while_loop would let warm-started envs
     # exit early, but a pallas custom-call inside a batched while_loop

@@ -240,6 +240,40 @@ def main(argv=None):
     results['[chol fused f+s]'] = _time(jax.jit(k_fused), (H, g),
                                         iters=args.iters)
 
+    # Block-arrow kernel micro-benches (same matrices; M is exactly
+    # arrow-patterned so the factorization is exact).
+    from flybody_tpu.ops import arrow as _arrow
+    part = _arrow.build_partition(model.meta)
+    if part is not None and _arrow.enabled():
+        aops = _arrow.ops_for(part)
+
+        def a_factor(h):
+            return jax.vmap(aops.chol_pe)(h)
+
+        def a_solve(arg):
+            f, b = arg
+            return jax.vmap(aops.solve_pe)(f, b)
+
+        def a_fused(arg):
+            h, b = arg
+            return jax.vmap(aops.chol_solve_pe)(h, b)[1]
+
+        def a_multi(arg):
+            f, b = arg
+            return jax.vmap(aops.solve_pe)(f, b)
+
+        F_prep = jax.jit(a_factor)(H)
+        g25 = jnp.broadcast_to(g[:, :, None], g.shape + (25,))
+        results['[arrow factor]'] = _time(jax.jit(a_factor), H,
+                                          iters=args.iters)
+        results['[arrow solve-1rhs]'] = _time(jax.jit(a_solve),
+                                              (F_prep, g), iters=args.iters)
+        results['[arrow fused f+s]'] = _time(jax.jit(a_fused), (H, g),
+                                             iters=args.iters)
+        results['[arrow solve-25rhs]'] = _time(jax.jit(a_multi),
+                                               (F_prep, g25),
+                                               iters=args.iters)
+
     # Solver: needs the full smooth pipeline; time fwd-minus-pieces via
     # the full step and report it as the residual.
     t_full = _time(jax.jit(s_full), d0, iters=max(5, args.iters // 5))
