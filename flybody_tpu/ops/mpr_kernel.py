@@ -104,10 +104,44 @@ def _support(gtype: int, pos, mat, size, d):
     raise NotImplementedError(gtype)
 
 
+def _support_any(tc, pos, mat, size, d):
+    """Per-pair type dispatch: all four supports + select (merged path).
+
+    Shares the R^T d rotation across the three frame-local shapes; the
+    4x support cost is repaid by running ONE kernel + ONE broadphase for
+    all mixed-type MPR pairs (physics/collision.py merged path)."""
+    sp = _add3(pos, _scale3(d, size[0]))
+    dl = _matvec_t(mat, d)
+    # Capsule.
+    axial = jnp.sign(dl[2]) * size[1]
+    ca_l = (jnp.zeros_like(axial), jnp.zeros_like(axial), axial)
+    # Cylinder.
+    rn = jnp.sqrt(dl[0] * dl[0] + dl[1] * dl[1])
+    inv_c = jnp.where(rn > 1e-10, size[0] / jnp.maximum(rn, _EPS), 0.0)
+    cy_l = (dl[0] * inv_c, dl[1] * inv_c, jnp.sign(dl[2]) * size[1])
+    # Ellipsoid.
+    sx, sy, sz = size
+    num = (sx * sx * dl[0], sy * sy * dl[1], sz * sz * dl[2])
+    den = jnp.sqrt((sx * dl[0]) ** 2 + (sy * dl[1]) ** 2
+                   + (sz * dl[2]) ** 2)
+    inv_e = 1.0 / jnp.maximum(den, _EPS)
+    el_l = _scale3(num, inv_e)
+    # Select the local point, rotate once, add capsule's radial term.
+    is_ca = tc == _s.GEOM_CAPSULE
+    is_cy = tc == _s.GEOM_CYLINDER
+    local = _where3(is_ca, ca_l, _where3(is_cy, cy_l, el_l))
+    pt = _add3(pos, _matvec(mat, local))
+    pt = _where3(is_ca, _add3(pt, _scale3(d, size[0])), pt)
+    return _where3(tc == _s.GEOM_SPHERE, sp, pt)
+
+
 # ----------------------------------------------------------------- kernel
 
 
-def _mpr_kernel(type1, type2, polish_iters, refs):
+def _mpr_kernel(sup1, sup2, polish_iters, smooth, refs):
+    """Shared MPR body. sup1/sup2: (pos, mat, size, d) -> support point
+    (componentized); smooth: None, or a per-pair mask gating the
+    strictly-convex polish acceptance (merged mixed-type path)."""
     (p1_ref, m1_ref, s1_ref, mg1_ref, p2_ref, m2_ref, s2_ref, mg2_ref,
      dist_ref, n_ref, pos_ref) = refs
 
@@ -125,8 +159,8 @@ def _mpr_kernel(type1, type2, polish_iters, refs):
     total_margin = mg1 + mg2
 
     def S(d):
-        a = _support(type1, pos1, mat1, size1, d)
-        b = _support(type2, pos2, mat2, size2, _scale3(d, -1.0))
+        a = sup1(pos1, mat1, size1, d)
+        b = sup2(pos2, mat2, size2, _scale3(d, -1.0))
         a = _add3(a, _scale3(d, mg1))
         b = _sub3(b, _scale3(d, mg2))
         return _sub3(a, b), _add3(a, b)
@@ -259,6 +293,8 @@ def _mpr_kernel(type1, type2, polish_iters, refs):
         v_p, s_p = S(n_p)
         depth_p = _dot3(v_p, n_p)
         better = depth_p < depth
+        if smooth is not None:
+            better = better & smooth
         n = _where3(better, n_p, n)
         depth = jnp.where(better, depth_p, depth)
         pos = _where3(better, _scale3(s_p, 0.5), pos)
@@ -275,7 +311,20 @@ def _mpr_kernel(type1, type2, polish_iters, refs):
 
 def _kernel_entry(type1, type2, polish_iters, p1, m1, s1, mg1, p2, m2, s2,
                   mg2, dist_ref, n_ref, pos_ref):
-    _mpr_kernel(type1, type2, polish_iters,
+    _mpr_kernel(functools.partial(_support, type1),
+                functools.partial(_support, type2), polish_iters, None,
+                (p1, m1, s1, mg1, p2, m2, s2, mg2, dist_ref, n_ref,
+                 pos_ref))
+
+
+def _merged_entry(polish_iters, p1, m1, s1, mg1, p2, m2, s2, mg2, tc,
+                  dist_ref, n_ref, pos_ref):
+    """Mixed-type entry: tc holds [type1; type2; smooth] channels."""
+    t1 = tc[0]
+    t2 = tc[1]
+    smooth = tc[2] > 0.5
+    _mpr_kernel(functools.partial(_support_any, t1),
+                functools.partial(_support_any, t2), polish_iters, smooth,
                 (p1, m1, s1, mg1, p2, m2, s2, mg2, dist_ref, n_ref,
                  pos_ref))
 
@@ -305,6 +354,95 @@ def _mpr_pallas(type1, type2, polish_iters, p1, m1, s1, mg1, p2, m2, s2,
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(p1, m1, s1, mg1, p2, m2, s2, mg2)
+
+
+@functools.partial(jax.jit, static_argnames=('polish_iters', 'interpret'))
+def _mpr_merged_pallas(polish_iters, p1, m1, s1, mg1, p2, m2, s2, mg2, tc,
+                       interpret=False):
+    """Mixed-type MPR: inputs in (C, P, B) layout; tc = (3, P, B) holding
+    [type1; type2; smooth]."""
+    _, P, B = p1.shape
+    grid = (B // LANES,)
+
+    def spec(c):
+        return pl.BlockSpec((c, P, LANES), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_merged_entry, polish_iters),
+        out_shape=(jax.ShapeDtypeStruct((1, P, B), p1.dtype),
+                   jax.ShapeDtypeStruct((3, P, B), p1.dtype),
+                   jax.ShapeDtypeStruct((3, P, B), p1.dtype)),
+        grid=grid,
+        in_specs=[spec(3), spec(9), spec(3), spec(1),
+                  spec(3), spec(9), spec(3), spec(1), spec(3)],
+        out_specs=(spec(1), spec(3), spec(3)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(p1, m1, s1, mg1, p2, m2, s2, mg2, tc)
+
+
+@functools.lru_cache(maxsize=8)
+def make_mpr_merged_pe(polish_iters: int, interpret: bool = False):
+    """Per-env mixed-type MPR entry (type codes + smooth flag as traced
+    per-pair inputs); pallas-batched under vmap on TPU."""
+    from flybody_tpu.physics import mpr as _mpr
+
+    @custom_batching.custom_vmap
+    def f(pos1, mat1, size1, mg1, pos2, mat2, size2, mg2, t1, t2, smooth):
+        return _mpr.mpr_penetration(t1, t2, pos1, mat1, size1, pos2,
+                                    mat2, size2, margin1=mg1, margin2=mg2,
+                                    polish_iters=polish_iters,
+                                    smooth_mask=smooth > 0.5)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, pos1, mat1, size1, mg1, pos2, mat2,
+              size2, mg2, t1, t2, smooth):
+        from flybody_tpu.ops.dispatch import pallas_enabled
+        on_tpu = pallas_enabled('mpr') or interpret
+        args = [pos1, mat1, size1, mg1, pos2, mat2, size2, mg2, t1, t2,
+                smooth]
+        if not on_tpu:
+            axes = [0 if b else None for b in in_batched]
+            out = jax.vmap(lambda *a: _mpr.mpr_penetration(
+                a[8], a[9], a[0], a[1], a[2], a[4], a[5], a[6],
+                margin1=a[3], margin2=a[7], polish_iters=polish_iters,
+                smooth_mask=a[10] > 0.5), in_axes=axes)(*args)
+            return out, (True, True, True)
+        args = [a if b else jnp.broadcast_to(a[None], (axis_size,)
+                                             + a.shape)
+                for a, b in zip(args, in_batched)]
+        (pos1, mat1, size1, mg1, pos2, mat2, size2, mg2, t1, t2,
+         smooth) = args
+        B, P = pos1.shape[:2]
+        pad = (-B) % LANES
+
+        def tolanes(v, c):
+            v = jnp.moveaxis(v.reshape(B, P, c), 0, -1)  # (P, c, B)
+            v = jnp.moveaxis(v, 1, 0)  # (c, P, B)
+            if pad:
+                v = jnp.concatenate(
+                    [v, jnp.zeros((c, P, pad), v.dtype)], axis=-1)
+            return v
+
+        tc = tolanes(jnp.stack([t1, t2, smooth], axis=-1), 3)
+        d_t, n_t, q_t = _mpr_merged_pallas(
+            polish_iters, tolanes(pos1, 3), tolanes(mat1, 9),
+            tolanes(size1, 3), tolanes(mg1[..., None], 1),
+            tolanes(pos2, 3), tolanes(mat2, 9), tolanes(size2, 3),
+            tolanes(mg2[..., None], 1), tc, interpret=interpret)
+
+        def fromlanes(v, c):
+            v = jnp.moveaxis(v[..., :B], 0, 1)  # (P, c, B)
+            return jnp.moveaxis(v, -1, 0).reshape(B, P, c)
+
+        dist = fromlanes(d_t, 1)[..., 0]
+        n = fromlanes(n_t, 3)
+        pos = fromlanes(q_t, 3)
+        return (dist, n, pos), (True, True, True)
+
+    return f
 
 
 @functools.lru_cache(maxsize=32)

@@ -17,6 +17,8 @@ HBM-resident carry by a third vs carrying (a, b) separately.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -57,6 +59,24 @@ def support(gtype: int, pos, mat, size, d):
     raise NotImplementedError(f'support for geom type {gtype}')
 
 
+def support_any(tc, pos, mat, size, d):
+    """Support with PER-PAIR type dispatch (tc: (...,) int array).
+
+    Evaluates all four convex supports and selects by type code — the
+    price of running mixed-type pair sets through ONE batched MPR sweep
+    (the merged broadphase path in collision.py) instead of one sweep
+    per type pair."""
+    sp = support(_s.GEOM_SPHERE, pos, mat, size, d)
+    ca = support(_s.GEOM_CAPSULE, pos, mat, size, d)
+    cy = support(_s.GEOM_CYLINDER, pos, mat, size, d)
+    el = support(_s.GEOM_ELLIPSOID, pos, mat, size, d)
+    t = tc[..., None]
+    return jnp.where(
+        t == _s.GEOM_SPHERE, sp,
+        jnp.where(t == _s.GEOM_CAPSULE, ca,
+                  jnp.where(t == _s.GEOM_CYLINDER, cy, el)))
+
+
 def _norm(v):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), _EPS)
 
@@ -65,9 +85,9 @@ def _dot(a, b):
     return jnp.einsum('...i,...i->...', a, b)
 
 
-def mpr_penetration(type1: int, type2: int, pos1, mat1, size1, pos2, mat2,
+def mpr_penetration(type1, type2, pos1, mat1, size1, pos2, mat2,
                     size2, margin1=None, margin2=None,
-                    polish_iters: int = 0):
+                    polish_iters: int = 0, smooth_mask=None):
     """Batched MPR penetration query (canonical XenoCollide formulation).
 
     Geoms are inflated by their contact margins (Minkowski sum with a ball,
@@ -85,10 +105,18 @@ def mpr_penetration(type1: int, type2: int, pos1, mat1, size1, pos2, mat2,
     if margin2 is not None:
         total_margin = total_margin + margin2
 
+    # Static int type codes -> specialized supports; array type codes ->
+    # per-pair dispatch (merged mixed-type path). `smooth_mask` (optional,
+    # per pair) gates the strictly-convex polish acceptance in that case.
+    _sup1 = (functools.partial(support, type1) if isinstance(type1, int)
+             else functools.partial(support_any, type1))
+    _sup2 = (functools.partial(support, type2) if isinstance(type2, int)
+             else functools.partial(support_any, type2))
+
     def S(d):
         """Returns (v, s) = (a - b, a + b) of the margin-inflated pair."""
-        a = support(type1, pos1, mat1, size1, d)
-        b = support(type2, pos2, mat2, size2, -d)
+        a = _sup1(pos1, mat1, size1, d)
+        b = _sup2(pos2, mat2, size2, -d)
         if margin1 is not None:
             a = a + margin1[..., None] * d
         if margin2 is not None:
@@ -239,6 +267,8 @@ def mpr_penetration(type1: int, type2: int, pos1, mat1, size1, pos2, mat2,
         v_p, s_p = S(n_p)
         depth_p = _dot(v_p, n_p)
         better = depth_p < depth
+        if smooth_mask is not None:
+            better = better & smooth_mask
         n = jnp.where(better[..., None], n_p, n)
         depth = jnp.where(better, depth_p, depth)
         pos = jnp.where(better[..., None], 0.5 * s_p, pos)

@@ -274,3 +274,55 @@ def test_mpr_kernel_matches_reference(types, polish):
                                np.asarray(ref[0])[near], atol=1e-4)
     ndot = np.asarray(jnp.sum(n * ref[1], -1))[near]
     assert ndot.min() > 0.999
+
+
+def test_mpr_merged_kernel_mixed_types():
+    """Merged mixed-type MPR (per-pair type dispatch + smooth-polish
+    mask) matches the per-type jnp reference on every pair."""
+    rng = np.random.RandomState(1)
+    B, P = 4, 12
+    type_pairs = [(_s.GEOM_SPHERE, _s.GEOM_ELLIPSOID),
+                  (_s.GEOM_CAPSULE, _s.GEOM_ELLIPSOID),
+                  (_s.GEOM_CAPSULE, _s.GEOM_CYLINDER),
+                  (_s.GEOM_ELLIPSOID, _s.GEOM_CYLINDER)]
+    t1 = np.array([type_pairs[j % 4][0] for j in range(P)], np.float32)
+    t2 = np.array([type_pairs[j % 4][1] for j in range(P)], np.float32)
+    smooth = ((t1 != _s.GEOM_CYLINDER)
+              & (t2 != _s.GEOM_CYLINDER)).astype(np.float32)
+    pos1 = jnp.asarray(0.2 * rng.randn(B, P, 3), jnp.float32)
+    pos2 = jnp.asarray(pos1 + 0.08 * rng.randn(B, P, 3), jnp.float32)
+    mat1 = jnp.asarray(_rand_rots(rng, B * P).reshape(B, P, 3, 3),
+                       jnp.float32)
+    mat2 = jnp.asarray(_rand_rots(rng, B * P).reshape(B, P, 3, 3),
+                       jnp.float32)
+    size1 = jnp.asarray(0.04 + 0.05 * rng.rand(B, P, 3), jnp.float32)
+    size2 = jnp.asarray(0.04 + 0.05 * rng.rand(B, P, 3), jnp.float32)
+    mg = jnp.full((B, P), 5e-4, jnp.float32)
+
+    # Per-type jnp reference, sliced per pair column.
+    refs_d = np.zeros((B, P), np.float32)
+    refs_n = np.zeros((B, P, 3), np.float32)
+    for j in range(P):
+        tt1, tt2 = int(t1[j]), int(t2[j])
+        polish = 8 if smooth[j] else 0
+        d, n, _ = jax.vmap(lambda *a: jmpr.mpr_penetration(
+            tt1, tt2, a[0], a[1], a[2], a[4], a[5], a[6], margin1=a[3],
+            margin2=a[7], polish_iters=polish))(
+            pos1[:, j:j + 1], mat1[:, j:j + 1], size1[:, j:j + 1],
+            mg[:, j:j + 1], pos2[:, j:j + 1], mat2[:, j:j + 1],
+            size2[:, j:j + 1], mg[:, j:j + 1])
+        refs_d[:, j] = np.asarray(d)[:, 0]
+        refs_n[:, j] = np.asarray(n)[:, 0]
+
+    f = mprk.make_mpr_merged_pe(8, interpret=True)
+    d, n, q = jax.vmap(
+        f, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None))(
+        pos1, mat1, size1, mg, pos2, mat2, size2, mg,
+        jnp.asarray(t1), jnp.asarray(t2), jnp.asarray(smooth))
+
+    near = refs_d < 0.001
+    assert near.sum() > 5
+    np.testing.assert_allclose(np.asarray(d)[near], refs_d[near],
+                               atol=1e-4)
+    ndot = np.asarray(jnp.sum(n * refs_n, -1))[near]
+    assert ndot.min() > 0.999
