@@ -137,7 +137,7 @@ def fwd(model: FlyModel, data: Data,
         qfrc_con = (jnp.zeros(meta.nv, dtype)
                     .at[lim_dof_idx]
                     .add(f_l * jnp.asarray(lim_sign_st, dtype))
-                    + efc.con_JT @ f_c.reshape(-1))
+                    + jnp.sum(efc.con_J * f_c[:, :, None], axis=(0, 1)))
 
     # Self-contact force magnitude sum (observable; fruitfly.py:687-704).
     m_self = efc.con_self * efc.con_active

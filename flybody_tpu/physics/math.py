@@ -96,3 +96,29 @@ def transform_motion(vec: jax.Array, new_point_minus_old: jax.Array
     w, u = vec[..., :3], vec[..., 3:]
     return jnp.concatenate(
         [w, u - jnp.cross(new_point_minus_old, w)], axis=-1)
+
+
+def exclusive_cumsum(flag, tile: int = 32):
+    """Exclusive prefix sum of a 1-D array via tiled triangular matmuls.
+
+    jnp.cumsum over a few-thousand-element axis can lower poorly on TPU
+    under vmap; two small constant-triangular matmuls (within-tile
+    inclusive scan + tile-offset scan) keep the whole thing on the MXU.
+    """
+    n = flag.shape[0]
+    pad = (-n) % tile
+    dtype = flag.dtype
+    f = jnp.concatenate([flag, jnp.zeros((pad,), dtype)]) if pad else flag
+    nt = (n + pad) // tile
+    ft = f.reshape(nt, tile)
+    # Inclusive within-tile scan: inc[t, i] = sum_{j <= i} ft[t, j].
+    incl = jnp.asarray(
+        jnp.triu(jnp.ones((tile, tile))), dtype)  # U[j, i] = 1 for j <= i
+    inc = ft @ incl
+    tot = inc[:, -1]
+    # Strict tile-offset scan: off[t] = sum_{u < t} tot[u].
+    strict = jnp.asarray(
+        jnp.triu(jnp.ones((nt, nt)), k=1), dtype)  # SU[u, t] = 1 for u < t
+    off = tot @ strict
+    out = (off[:, None] + inc - ft).reshape(-1)
+    return out[:n]

@@ -205,58 +205,57 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
     # Batched per-slot state [dist | pos | normal] (S, 7).
     bcat = jnp.concatenate([con.dist[:, None], con.pos, con.normal], -1)
 
+    # Sort-free two-stage ACTIVE COMPACTION. A slot can be active only
+    # when score = dist - includemargin < 0, so instead of a top-k sort
+    # (lax.top_k lowers to a full sort on TPU — ~6 ms at batch 8192 over
+    # S=2852), collect the active slots in slot order:
+    #   stage 1: compact the tiles containing any active slot to T=k
+    #            tile rows (tiny (T, nt) one-hot GEMMs);
+    #   stage 2: route each active slot to its global prefix-sum
+    #            position with a (k, T*TILE) one-hot built by direct
+    #            comparison (no sort anywhere).
+    # Exact for <= k actives (3.5x headroom at bench settings, matching
+    # MuJoCo's own contact-cap semantics); overflow drops the LAST
+    # actives in slot order. Unfilled rows are padded to a separated
+    # dummy (dist 1e10, +z normal).
     TILE = 32
-    if S > 16 * TILE:
-        # Two-stage exact top-k: pick the T tiles with the smallest
-        # per-tile minimum, then top-k within those tiles' T*TILE
-        # candidates. Exact for k <= T: any element of a non-selected
-        # tile is >= that tile's min, which is >= T selected tile mins,
-        # i.e. >= T >= k other elements. Cuts the top_k from S=2223 to
-        # 1024 and shrinks the one-hot gather GEMM from (K, S) to
-        # (K, T*TILE) — the S-sized one-hot alone is ~2.3 GB of HBM at
-        # batch 8192.
-        pad_len = (-S) % TILE
-        nt = (S + pad_len) // TILE
-        # T = nt means all tiles are kept (still cheaper: the gathers and
-        # the second top_k stay tile-shaped).
-        T = min(max(TILE, k), nt)
-        score_p = jnp.concatenate(
-            [score, jnp.full((pad_len,), 1e10, dtype)])
-        tiles = score_p.reshape(nt, TILE)
-        tmin = tiles.min(axis=1)
-        _, tidx = jax.lax.top_k(-tmin, T)
-        # All tile gathers ride small (T, nt) one-hot GEMMs — batched
-        # traced row gathers lower to per-row loops on TPU (~100 ms at
-        # batch 8192, measured).
-        oh_t = jax.nn.one_hot(tidx, nt, dtype=dtype)  # (T, nt)
-        cand = (oh_t @ tiles).reshape(T * TILE)
-        _, lsel = jax.lax.top_k(-cand, k)
-        oh_lt = jax.nn.one_hot(lsel // TILE, T, dtype=dtype)  # (k, T)
-        sel_tile = jnp.round(oh_lt @ tidx.astype(dtype)).astype(jnp.int32)
-        sel = sel_tile * TILE + (lsel % TILE).astype(jnp.int32)
-        # Tile-gather each table SEPARATELY (ucat is an unbatched model
-        # constant — concatenating it into the batched table would
-        # materialize a (B, S, 21) array), then pick rows with one
-        # (K, T*TILE) one-hot GEMM each.
-        bpad_row = jnp.zeros((7,), dtype).at[0].set(1e10).at[6].set(1.0)
-        bcat_p = jnp.concatenate(
-            [bcat, jnp.broadcast_to(bpad_row, (pad_len, 7))])
-        bcat_t = (oh_t @ bcat_p.reshape(nt, TILE * 7)).reshape(
-            T * TILE, 7)
-        ucat_p = jnp.concatenate(
-            [ucat, jnp.zeros((pad_len, ucat.shape[-1]), dtype)])
-        nu = ucat.shape[-1]
-        ucat_t = (oh_t @ ucat_p.reshape(nt, TILE * nu)).reshape(
-            T * TILE, nu)
-        oh = jax.nn.one_hot(lsel, T * TILE, dtype=dtype)
-        bsel = oh @ bcat_t
-        usel = oh @ ucat_t
-    else:
-        _, sel = jax.lax.top_k(-score, k)
-        sel = sel.astype(jnp.int32)
-        oh = jax.nn.one_hot(sel, S, dtype=dtype)  # (K, S)
-        bsel = oh @ bcat  # (K, 7)
-        usel = oh @ ucat
+    from flybody_tpu.physics.math import exclusive_cumsum as _exc
+    flag = (score < 0.0).astype(dtype)
+    gpos = _exc(flag)  # exclusive prefix sum = dest row (MXU form)
+    pad_len = (-S) % TILE
+    nt = (S + pad_len) // TILE
+    T = min(k, nt)
+    zpad = jnp.zeros((pad_len,), dtype)
+    flag_p = jnp.concatenate([flag, zpad]).reshape(nt, TILE)
+    gpos_p = jnp.concatenate([gpos, zpad]).reshape(nt, TILE)
+    tflag = flag_p.max(axis=1)  # tile contains an active slot
+    tpos = _exc(tflag)
+    oh_t = ((tpos[None, :] == jnp.arange(T, dtype=dtype)[:, None])
+            & (tflag[None, :] > 0)).astype(dtype)  # (T, nt)
+    # Tile-gather each table SEPARATELY (ucat is an unbatched model
+    # constant — concatenating it into the batched table would
+    # materialize a (B, S, 21) array).
+    bpad_row = jnp.zeros((7,), dtype).at[0].set(1e10).at[6].set(1.0)
+    bcat_p = jnp.concatenate(
+        [bcat, jnp.broadcast_to(bpad_row, (pad_len, 7))])
+    bcat_t = (oh_t @ bcat_p.reshape(nt, TILE * 7)).reshape(T * TILE, 7)
+    nu = ucat.shape[-1]
+    ucat_p = jnp.concatenate([ucat, jnp.zeros((pad_len, nu), dtype)])
+    ucat_t = (oh_t @ ucat_p.reshape(nt, TILE * nu)).reshape(T * TILE, nu)
+    sidx_p = jnp.concatenate(
+        [jnp.arange(S, dtype=dtype), zpad]).reshape(nt, TILE)
+    aux_t = (oh_t @ jnp.concatenate(
+        [flag_p, gpos_p, sidx_p], -1)).reshape(T, 3, TILE)
+    flag_t = aux_t[:, 0, :].reshape(T * TILE)
+    gpos_t = aux_t[:, 1, :].reshape(T * TILE)
+    sidx_t = aux_t[:, 2, :].reshape(T * TILE)
+    oh = ((gpos_t[None, :] == jnp.arange(k, dtype=dtype)[:, None])
+          & (flag_t[None, :] > 0)).astype(dtype)  # (k, T*TILE)
+    bsel = oh @ bcat_t
+    usel = oh @ ucat_t
+    have = jnp.sum(oh, axis=1)  # (k,) 1 for filled rows
+    bsel = bsel + (1.0 - have)[:, None] * bpad_row
+    sel = jnp.round(oh @ sidx_t).astype(jnp.int32)
 
     c_dist = bsel[:, 0]
     c_pos = bsel[:, 1:4]
@@ -321,7 +320,7 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
 
     r_c = c_dist - c_incl
     K_c, B_c, imp_c = kbi(c_solref, c_solimp, r_c)
-    vel_c = (con_J.reshape(-1, meta.nv) @ data.qvel).reshape(-1, 3)
+    vel_c = jnp.sum(con_J * data.qvel[None, None, :], axis=-1)  # (K, 3)
     aref_n = -B_c * vel_c[:, 0] - K_c * imp_c * r_c
     aref_t = -B_c[:, None] * vel_c[:, 1:]
     con_aref = jnp.concatenate([aref_n[:, None], aref_t], axis=1)
@@ -410,6 +409,15 @@ def _cone_hessian(jar, mu, frictional, active):
     return H * active[:, None, None]
 
 
+def _mv(A, x):
+    """Batched-friendly matvec A @ x as a mul+sum reduction.
+
+    Under vmap a (n, m) @ (m,) dot lowers to a per-env MXU pass (N=1
+    batched matmuls serialize, ~1 us each at batch 8192 — measured v5e);
+    the broadcast-multiply + lane reduction runs at HBM speed."""
+    return jnp.sum(A * x[None, :], axis=-1)
+
+
 def _constraint_cost_grad_hess(efc: EfcRows, x, qvel_dummy=None):
     """Cost pieces from constraints at qacc x; returns (grad_qfrc, blocks).
 
@@ -420,9 +428,8 @@ def _constraint_cost_grad_hess(efc: EfcRows, x, qvel_dummy=None):
     jar_l = x[efc.lim_dof] * jnp.asarray(efc.lim_sign, x.dtype) - efc.lim_aref
     act_l = efc.lim_active * (jar_l < 0)
     f_l = -efc.lim_D * jar_l * act_l  # row force (>= 0)
-    # Contacts: jar = Jx - aref as one (3K, nv) matvec.
-    K = efc.con_J.shape[0]
-    jar_c = (efc.con_J.reshape(3 * K, -1) @ x).reshape(K, 3) - efc.con_aref
+    # Contacts: jar = Jx - aref, mul+sum over the dof axis.
+    jar_c = jnp.sum(efc.con_J * x[None, None, :], axis=-1) - efc.con_aref
     res = _cone_residual(jar_c, efc.con_mu, efc.con_frictional,
                          efc.con_active)
     f_c = -efc.con_D[:, None] * res
@@ -453,12 +460,11 @@ def _chol3_psd(W):
 def _primal_cost(efc: EfcRows, M, a_free, x):
     """Primal objective 0.5(x-a_free)^T M (x-a_free) + s(Jx - aref)."""
     dx = x - a_free
-    cost = 0.5 * dx @ (M @ dx)
+    cost = 0.5 * jnp.dot(dx, _mv(M, dx))
     jar_l = x[efc.lim_dof] * jnp.asarray(efc.lim_sign, x.dtype) - efc.lim_aref
     act_l = efc.lim_active * (jar_l < 0)
     cost = cost + 0.5 * jnp.sum(efc.lim_D * act_l * jar_l ** 2)
-    K = efc.con_J.shape[0]
-    jar_c = (efc.con_J.reshape(3 * K, -1) @ x).reshape(K, 3) - efc.con_aref
+    jar_c = jnp.sum(efc.con_J * x[None, None, :], axis=-1) - efc.con_aref
     res = _cone_residual(jar_c, efc.con_mu, efc.con_frictional,
                          efc.con_active)
     cost = cost + 0.5 * jnp.sum(efc.con_D[:, None] * res ** 2)
@@ -495,8 +501,7 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
     lim_sign = jnp.asarray(efc.lim_sign, dtype)
 
     K = efc.con_J.shape[0]
-    J2 = efc.con_J.reshape(3 * K, nv)  # (3K, nv)
-    JT = efc.con_JT  # (nv, 3K), built once in make_efc
+    JT = efc.con_JT  # (nv, 3K), built once in make_efc (Hessian GEMM)
 
     # Static limit-row dof/sign tables from the model (efc.lim_dof may be
     # traced if EfcRows crossed a jit boundary; traced index gathers are
@@ -513,16 +518,39 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
     hess_active = (efc.con_active * (1.0 - efc.con_break)
                    if aops is not None else efc.con_active)
 
-    def grad_and_hess(x):
-        jar_l, f_l, jar_c, f_c = _constraint_cost_grad_hess(efc, x)
-        # Gradient: M(x - a_free) - J^T f (JT GEMV, no transpose). Limit
-        # rows each touch ONE dof, so J_lim^T f is a static scatter-add,
-        # not an (nv, L) matmul.
-        g = M @ (x - a_free)
-        g = g.at[lim_dof_idx].add(-f_l * lim_sign)
-        g = g - JT @ f_c.reshape(3 * K)
-        # Hessian: M + J^T D H J + limit diag (a pure diagonal: one dof
-        # per limit row).
+    # --- Incremental Newton state. Along a line step x + alpha*dx, the
+    # smooth gradient piece msm = M(x - a_free) and the constraint jar
+    # values update LINEARLY: msm += alpha*M dx, jar += alpha*J dx — and
+    # M dx / J dx are needed for the exact line search anyway. Carrying
+    # (x, msm, jar_l, jar_c) therefore makes each Newton iteration cost
+    # exactly ONE M product and ONE J product (both mul+sum reductions:
+    # N=1 batched matmuls serialize on the MXU), instead of the 3 M- and
+    # 3 J-products of the stateless form.
+
+    def forces_from(jar_l, jar_c):
+        act_l = efc.lim_active * (jar_l < 0)
+        f_l = -efc.lim_D * jar_l * act_l  # row force (>= 0)
+        res = _cone_residual(jar_c, efc.con_mu, efc.con_frictional,
+                             efc.con_active)
+        f_c = -efc.con_D[:, None] * res
+        return f_l, f_c
+
+    def grad_from(msm, jar_l, jar_c):
+        """Gradient from carried state. Limit rows each touch ONE dof,
+        so J_lim^T f is a static scatter-add, not an (nv, L) matmul."""
+        f_l, f_c = forces_from(jar_l, jar_c)
+        g = msm.at[lim_dof_idx].add(-f_l * lim_sign)
+        g = g - jnp.sum(efc.con_J * f_c[:, :, None], axis=(0, 1))
+        return g
+
+    def init_state(x):
+        msm = _mv(M, x - a_free)
+        jar_l = x[efc.lim_dof] * lim_sign - efc.lim_aref
+        jar_c = jnp.sum(efc.con_J * x[None, None, :], axis=-1) - efc.con_aref
+        return (x, msm, jar_l, jar_c)
+
+    def hessian(jar_l, jar_c):
+        """Newton Hessian M + J^T D H J + limit diag at the jar values."""
         act_l = efc.lim_active * (jar_l < 0)
         hd = efc.lim_D * act_l
         hd_dof = jnp.zeros(nv, dtype).at[lim_dof_idx].add(hd)
@@ -543,39 +571,33 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
             JTJH = JT @ JHr
         H = M + JTJH
         H = H + jnp.diag(hd_dof)
-        return g, H
-
-    def grad_only(x):
-        _, f_l, _, f_c = _constraint_cost_grad_hess(efc, x)
-        g = M @ (x - a_free)
-        g = g.at[lim_dof_idx].add(-f_l * lim_sign)
-        g = g - JT @ f_c.reshape(3 * K)
-        return g
+        return H
 
     from flybody_tpu.ops import linesearch as _pls
     ls_fn = _pls.make_ls_pe(6, ls_iterations)
 
-    def line_search(x, dx):
-        # Precompute directional quantities once: along dx, phi'(alpha)
-        # and phi''(alpha) are pure per-row functions of jar0 + alpha*jv
-        # (the same trick MuJoCo's Newton line search uses). The search
-        # itself (bracket doubling + guarded Newton/bisection) runs as
-        # ONE pallas kernel on TPU (ops/linesearch.py) — in XLA it is
-        # ~20 tiny kernel launches per Newton iteration.
-        mdx = M @ dx
-        sm0 = (M @ (x - a_free)) @ dx  # smooth slope at alpha = 0
-        smm = dx @ mdx                 # smooth curvature (constant)
-        jar0_l = (x[efc.lim_dof] * jnp.asarray(efc.lim_sign, dtype)
-                  - efc.lim_aref)
-        jv_l = dx[efc.lim_dof] * jnp.asarray(efc.lim_sign, dtype)
-        jar0_c = (J2 @ x).reshape(K, 3) - efc.con_aref
-        jv_c = (J2 @ dx).reshape(K, 3)
-        lim = jnp.stack([jar0_l, jv_l, efc.lim_active, efc.lim_D])
+    def ls_and_update(state, dx):
+        # Exact line search along dx + incremental state update. Along
+        # dx, phi'(alpha) and phi''(alpha) are pure per-row functions of
+        # jar0 + alpha*jv (the same trick MuJoCo's Newton line search
+        # uses); jar0/msm come from the carried state. The search itself
+        # (bracket doubling + guarded Newton/bisection) runs as ONE
+        # pallas kernel on TPU (ops/linesearch.py) — in XLA it is ~20
+        # tiny kernel launches per Newton iteration.
+        x, msm, jar_l, jar_c = state
+        mdx = _mv(M, dx)
+        jv_l = dx[efc.lim_dof] * lim_sign
+        jv_c = jnp.sum(efc.con_J * dx[None, None, :], axis=-1)
+        sm0 = jnp.dot(msm, dx)          # smooth slope at alpha = 0
+        smm = jnp.dot(dx, mdx)          # smooth curvature (constant)
+        lim = jnp.stack([jar_l, jv_l, efc.lim_active, efc.lim_D])
         con = jnp.concatenate([
-            jar0_c.T, jv_c.T, efc.con_mu[None], efc.con_frictional[None],
+            jar_c.T, jv_c.T, efc.con_mu[None], efc.con_frictional[None],
             efc.con_active[None], efc.con_D[None]])
         sc = jnp.stack([sm0[None], smm[None]])
-        return ls_fn(lim, con, sc)
+        alpha = ls_fn(lim, con, sc)
+        return (x + alpha * dx, msm + alpha * mdx,
+                jar_l + alpha * jv_l, jar_c + alpha * jv_c)
 
     x = a_free
     if warmstart is not None:
@@ -597,21 +619,21 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         _, bsel = jax.lax.top_k(-score_b, SB)
         ohb = jax.nn.one_hot(bsel, K, dtype=dtype)  # (SB, K)
         Vb = (ohb @ efc.con_J.reshape(K, 3 * nv)).reshape(SB, 3, nv)
-        Vb2 = Vb.reshape(3 * SB, nv)
         mub = ohb @ efc.con_mu
         Db = ohb @ efc.con_D
         fricb = ohb @ efc.con_frictional
         actb = ohb @ brk
-        arefb = ohb @ efc.con_aref
         eye_sb = jnp.eye(3 * SB, dtype=dtype)
 
-    def fresh_step_arrow(x):
+    def fresh_step_arrow(st):
         """Arrow Newton step: block-sparse factor of the compatible part
         + rank-3*SB Woodbury correction for cross-limb contact rows:
         H = A + U U^T  =>  H^-1 b = t - Z (I + U^T Z)^-1 U^T t with
         t = A^-1 b, Z = A^-1 U (one fused multi-RHS arrow solve)."""
-        g, H = grad_and_hess(x)
-        jar_b = (Vb2 @ x).reshape(SB, 3) - arefb
+        x, msm, jar_l, jar_c = st
+        g = grad_from(msm, jar_l, jar_c)
+        H = hessian(jar_l, jar_c)
+        jar_b = ohb @ jar_c  # (SB, 3) jar of the selected breaking rows
         Wb = _cone_hessian(jar_b, mub, fricb, actb) * Db[:, None, None]
         G = _chol3_psd(Wb)  # (SB, 3, 3) lower
         # U columns = (G^T J)_s rows: U (nv, 3*SB).
@@ -621,64 +643,67 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         F, sol = aops.chol_solve_pe(H + 1e-12 * eye, rhs)
         t = sol[:, 0]
         Z = sol[:, 1:]
-        C = eye_sb + U.T @ Z
+        C = eye_sb + U.T @ Z  # true (3SB, 3SB) GEMM: MXU-friendly as-is
         LC = _pchol.chol_pe(C + 1e-10 * eye_sb)
-        w = _pchol.cho_solve_pe(LC, U.T @ t)
-        dx = -(t - Z @ w)
-        return x + line_search(x, dx) * dx, (F, Z, LC, U)
+        w = _pchol.cho_solve_pe(LC, jnp.sum(U * t[:, None], axis=0))
+        dx = -(t - jnp.sum(Z * w[None, :], axis=-1))
+        return ls_and_update(st, dx), (F, Z, LC, U)
 
-    def reuse_step_arrow(x, fac):
+    def reuse_step_arrow(st, fac):
         F, Z, LC, U = fac
-        g = grad_only(x)
+        g = grad_from(st[1], st[2], st[3])
         t = aops.solve_pe(F, g)
-        w = _pchol.cho_solve_pe(LC, U.T @ t)
-        dx = -(t - Z @ w)
-        return x + line_search(x, dx) * dx
+        w = _pchol.cho_solve_pe(LC, jnp.sum(U * t[:, None], axis=0))
+        dx = -(t - jnp.sum(Z * w[None, :], axis=-1))
+        return ls_and_update(st, dx)
 
-    def fresh_step_dense(x):
+    def fresh_step_dense(st):
         """Newton step with fresh Hessian assembly + fused factor/solve."""
-        g, H = grad_and_hess(x)
+        g = grad_from(st[1], st[2], st[3])
+        H = hessian(st[2], st[3])
         L, sol = _pchol.chol_solve_pe(H + 1e-12 * eye, g)
         dx = -sol
-        return x + line_search(x, dx) * dx, L
+        return ls_and_update(st, dx), L
 
-    def reuse_step_dense(x, L):
+    def reuse_step_dense(st, L):
         """Newton step reusing the last factor: gradient + substitution
         only (no Hessian assembly, no factorization)."""
-        g = grad_only(x)
+        g = grad_from(st[1], st[2], st[3])
         dx = -_pchol.cho_solve_pe(L, g)
-        return x + line_search(x, dx) * dx
+        return ls_and_update(st, dx)
 
     if aops is not None:
         fresh_step, reuse_step = fresh_step_arrow, reuse_step_arrow
     else:
         fresh_step, reuse_step = fresh_step_dense, reuse_step_dense
 
+    st = init_state(x)
     # NOTE: a tolerance-based lax.while_loop would let warm-started envs
     # exit early, but a pallas custom-call inside a batched while_loop
     # faults the TPU runtime (observed 2026-08-16); fixed trip counts.
     p = max(1, refactor_period)
     if p == 1:
-        x = jax.lax.fori_loop(0, iterations,
-                              lambda i, xx: fresh_step(xx)[0], x)
+        st = jax.lax.fori_loop(0, iterations,
+                               lambda i, ss: fresh_step(ss)[0], st)
     else:
         # Blocks of [fresh, (p-1) x reuse]; tail block truncated.
         def block(reuse_n):
-            def body(i, xx):
-                xx, Lb = fresh_step(xx)
+            def body(i, ss):
+                ss, Lb = fresh_step(ss)
                 for _ in range(reuse_n):
-                    xx = reuse_step(xx, Lb)
-                return xx
+                    ss = reuse_step(ss, Lb)
+                return ss
             return body
         nblocks, tail = divmod(iterations, p)
         if nblocks:
-            x = jax.lax.fori_loop(0, nblocks, block(p - 1), x)
+            st = jax.lax.fori_loop(0, nblocks, block(p - 1), st)
         if tail:
-            x = block(tail - 1)(0, x)
+            st = block(tail - 1)(0, st)
 
-    jar_l, f_l, jar_c, f_c = _constraint_cost_grad_hess(efc, x)
+    x, _, jar_l, jar_c = st
+    f_l, f_c = forces_from(jar_l, jar_c)
     qfrc = (jnp.zeros(nv, dtype).at[lim_dof_idx].add(f_l * lim_sign)
-            + efc.con_JT @ f_c.reshape(-1))
+            + jnp.sum(efc.con_J * f_c[:, :, None], axis=(0, 1)))
     return x, qfrc, f_l, f_c
 
 
