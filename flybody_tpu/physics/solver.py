@@ -79,9 +79,6 @@ class EfcRows(NamedTuple):
 
     # Contacts (top-K gathered).
     con_J: jax.Array  # (K, 3, nv) rows: normal, tangent1, tangent2
-    con_JT: jax.Array  # (nv, 3K) transposed rows, materialized once so
-    # the Newton loop's J^T f and J^T (HJ) products are native GEMMs with
-    # no per-iteration transposes
     con_active: jax.Array  # (K,)
     con_frictional: jax.Array  # (K,) 1 if condim >= 3
     con_mu: jax.Array  # (K,)
@@ -289,20 +286,31 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
     w = (oh_b2 - oh_b1) @ mask  # (K, nv)
     root = np.array(meta.body_rootid)
     dof_body = np.array(meta.dof_bodyid)
-    ref = data.subtree_com[root[dof_body]]
-    ang = data.cdof[:, :3]
-    lin = data.cdof[:, 3:]
-    arm = c_pos[:, None, :] - ref[None, :, :]
-    contrib = lin[None] + jnp.cross(ang[None], arm)  # (K, nv, 3)
-    Jp = contrib * w[:, :, None]  # (K, nv, 3)
-    # frame @ Jp^T per contact via broadcast mul+sum (tiny batched
-    # matmuls serialize on the MXU).
-    con_J = jnp.sum(frame[:, :, None, :] * Jp[:, None, :, :],
-                    axis=-1)  # (K, 3, nv)
-    # Transposed layout, built once here so every J^T product in the
-    # Newton iterations is a native GEMM (no per-iteration transposes of
-    # the (3K, nv) row block).
-    con_JT = con_J.reshape(-1, meta.nv).T  # (nv, 3K)
+    roots = np.unique(root[dof_body])
+    if len(roots) == 1:
+        # Single kinematic tree: every dof shares the Jacobian reference
+        # point (its tree root's subtree com), so the row collapses via
+        # (ang_i x arm_k) . f = ang_i . (arm_k x f) to a 6-wide
+        # contraction J[k,r,i] = cdof_i . (arm_k x f_kr ; f_kr) * w[k,i]
+        # — no (K, nv, 3) cross-product intermediates.
+        ref0 = data.subtree_com[int(roots[0])]
+        arm = c_pos - ref0[None, :]  # (K, 3)
+        gkr = jnp.concatenate(
+            [jnp.cross(arm[:, None, :], frame), frame], axis=-1)  # (K,3,6)
+        con_J = jnp.sum(gkr[:, :, None, :] * data.cdof[None, None, :, :],
+                        axis=-1) * w[:, None, :]  # (K, 3, nv)
+    else:
+        # Multi-fly scenes: per-dof reference points.
+        ref = data.subtree_com[root[dof_body]]
+        ang = data.cdof[:, :3]
+        lin = data.cdof[:, 3:]
+        arm = c_pos[:, None, :] - ref[None, :, :]
+        contrib = lin[None] + jnp.cross(ang[None], arm)  # (K, nv, 3)
+        Jp = contrib * w[:, :, None]  # (K, nv, 3)
+        # frame @ Jp^T per contact via broadcast mul+sum (tiny batched
+        # matmuls serialize on the MXU).
+        con_J = jnp.sum(frame[:, :, None, :] * Jp[:, None, :, :],
+                        axis=-1)  # (K, 3, nv)
 
     # aref / D.
     # Cross-limb coupling flag for the block-arrow Newton path: limb ids
@@ -331,7 +339,7 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
         lim_dof=lim_dof, lim_sign=lim_sign,
         lim_active=lim_active.astype(dtype),
         lim_aref=aref, lim_D=lim_D, lim_pos=dist,
-        con_J=con_J, con_JT=con_JT, con_active=c_active.astype(dtype),
+        con_J=con_J, con_active=c_active.astype(dtype),
         con_frictional=(condim >= 3).astype(dtype),
         con_mu=c_mu, con_aref=con_aref, con_D=con_D, con_pos=c_dist,
         con_sel=sel,
@@ -501,7 +509,7 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
     lim_sign = jnp.asarray(efc.lim_sign, dtype)
 
     K = efc.con_J.shape[0]
-    JT = efc.con_JT  # (nv, 3K), built once in make_efc (Hessian GEMM)
+    J2 = efc.con_J.reshape(3 * K, nv)  # (3K, nv) row block
 
     # Static limit-row dof/sign tables from the model (efc.lim_dof may be
     # traced if EfcRows crossed a jit boundary; traced index gathers are
@@ -560,15 +568,18 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         # serialize on the MXU); the outer product is one native GEMM.
         JH = jnp.sum(Hc[:, :, :, None] * efc.con_J[:, None, :, :], axis=2)
         JHr = JH.reshape(3 * K, nv)
+        # J^T (HJ) with the transpose folded into the contraction (the
+        # MXU reads the lhs transposed natively — no materialized JT).
+        dn = (((0,), (0,)), ((), ()))
         if dtype == jnp.float32:
             # bf16 operands with f32 accumulation: H only steers the
             # Newton direction (the exact line search preserves descent
             # and the gradient stays f32), and the MXU runs bf16 at 2x.
-            JTJH = jax.lax.dot(JT.astype(jnp.bfloat16),
-                               JHr.astype(jnp.bfloat16),
-                               preferred_element_type=jnp.float32)
+            JTJH = jax.lax.dot_general(J2.astype(jnp.bfloat16),
+                                       JHr.astype(jnp.bfloat16), dn,
+                                       preferred_element_type=jnp.float32)
         else:
-            JTJH = JT @ JHr
+            JTJH = jax.lax.dot_general(J2, JHr, dn)
         H = M + JTJH
         H = H + jnp.diag(hd_dof)
         return H

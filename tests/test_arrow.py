@@ -163,3 +163,50 @@ def test_woodbury_hessian_solve(part):
     w = np.linalg.solve(C, U.T @ np.asarray(t))
     x = np.asarray(t) - np.asarray(Z) @ w
     np.testing.assert_allclose(H @ x, b, rtol=0, atol=1e-9)
+
+
+def test_efc_compaction_overflow_and_padding():
+    """make_efc's sort-free compaction: actives land in slot order, dead
+    rows are padded to separated dummies, and overflow beyond ncon_max
+    drops the last actives (MuJoCo contact-cap semantics)."""
+    import mujoco  # noqa: F401  (model build path)
+    from flybody_tpu.physics import collision as col
+    from flybody_tpu.physics import kinematics as kin
+    from flybody_tpu.physics import solver
+    from flybody_tpu.physics.state import make_data
+
+    fly, _ = mc.build_fly_model()
+    data = make_data(fly)
+    data, ja, jx = kin.kinematics(fly, data)
+    data = kin.com_pos(fly, data, ja, jx)
+    from flybody_tpu.physics import smooth as sm
+    data = sm.com_vel(fly, data)
+
+    tb = col.pair_tables(fly.meta)
+    S = tb['nslot']
+    rng = np.random.default_rng(0)
+    # 7 penetrating slots at chosen positions.
+    active_slots = np.array([3, 100, 101, 500, 1500, 2000, S - 1])
+    dist = np.full((S,), 1.0)
+    dist[active_slots] = -1e-4
+    n = rng.standard_normal((S, 3))
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    con = col.Contact(dist=jnp.asarray(dist, jnp.float64)
+                      if data.qpos.dtype == jnp.float64
+                      else jnp.asarray(dist, data.qpos.dtype),
+                      pos=jnp.zeros((S, 3), data.qpos.dtype),
+                      normal=jnp.asarray(n, data.qpos.dtype))
+
+    efc = solver.make_efc(fly, data, con, ncon_max=8)
+    sel = np.asarray(efc.con_sel)
+    act = np.asarray(efc.con_active)
+    assert np.array_equal(sel[:7], active_slots)
+    assert act[:7].all() and not act[7:].any()
+    # Dead rows: separated dummy with a unit normal.
+    assert float(efc.con_pos[7]) > 1e9
+    np.testing.assert_allclose(np.asarray(efc.con_normal)[7], [0, 0, 1])
+
+    # Overflow: cap 4 keeps the FIRST 4 actives in slot order.
+    efc4 = solver.make_efc(fly, data, con, ncon_max=4)
+    assert np.array_equal(np.asarray(efc4.con_sel), active_slots[:4])
+    assert np.asarray(efc4.con_active).all()
