@@ -112,6 +112,23 @@ class WalkImitationEnv(envbase.FruitFlyEnv):
         act = jnp.zeros((model.meta.na,), dtype)
         return qpos, qvel, act
 
+    def ghost_qpos(self, task: WalkTask, step) -> jax.Array:
+        """Full (nq,) pose of the reference 'ghost' fly at episode step.
+
+        The functional analog of the reference ghost walker driven to the
+        mocap pose each step (reference tasks/base.py:141-154,
+        task_utils.py:124-153): root + mocap joints from the trajectory,
+        remaining joints at qpos0, wings at springref (retracted)."""
+        ref = self._ref(task, step, 1)[0]
+        qpos = self.model.qpos0
+        qpos = qpos.at[:7].set(ref[:7])
+        if len(self._mocap_qpos):
+            qpos = qpos.at[self._mocap_qpos].set(ref[7:])
+        if len(self.tables.wing_qpos_idx):
+            qpos = qpos.at[self.tables.wing_qpos_idx].set(
+                self.model.qpos_spring[self.tables.wing_qpos_idx])
+        return qpos
+
     def _before_step(self, state: envbase.EnvState, action):
         # NaN scrub (reference walk_imitation.py:148).
         action = jnp.where(jnp.isnan(action), jnp.zeros_like(action), action)

@@ -18,11 +18,19 @@ def any_substr_in_str(substrings: Sequence[str], string: str) -> bool:
 def rollout_and_render(env, policy, n_steps: int = 100,
                        run_until_termination: bool = False,
                        camera_ids: Sequence[int] | int = (),
+                       ghost: bool = False,
+                       ghost_offset: Sequence[float] = (0.0, 0.0, 0.0),
                        **render_kwargs) -> dict:
     """Rollout a dm-adapter env with `policy` and collect frames
     (reference utils.py:11-40). Frames are rendered with the on-device eye
     rasterizer when camera rendering is requested; qpos/reward traces are
-    always returned."""
+    always returned.
+
+    `ghost=True` draws the reference trajectory pose as a washed-out
+    ghost fly in the tracking view (imitation tasks whose functional env
+    exposes `ghost_qpos(task, step)` — the counterpart of the
+    reference's add_ghost walker, tasks/base.py:141-154). `ghost_offset`
+    shifts it for visibility, like the reference's ghost_offset."""
     timestep = env.reset()
     frames, qposes, rewards = [], [], []
     step = 0
@@ -39,6 +47,15 @@ def rollout_and_render(env, policy, n_steps: int = 100,
             fenv = env.functional_env
             fkd, _, _ = kin.fwd_position_smooth(fenv.model, state.data)
             terrain = getattr(state.task, 'terrain', None)
+            ghost_fkd = None
+            if ghost and hasattr(fenv, 'ghost_qpos'):
+                import jax.numpy as jnp
+                from flybody_tpu.physics.state import make_data
+                gq = fenv.ghost_qpos(state.task, state.step_idx)
+                gq = gq.at[:3].add(jnp.asarray(ghost_offset, gq.dtype))
+                gdata = make_data(fenv.model).replace(qpos=gq)
+                ghost_fkd, _, _ = kin.fwd_position_smooth(
+                    fenv.model, gdata)
             frame = {}
             if 'eyes' in camera_ids or camera_ids is True:
                 frame.update({k: np.asarray(v) for k, v in
@@ -46,7 +63,8 @@ def rollout_and_render(env, policy, n_steps: int = 100,
                                   fenv.model, fkd, terrain).items()})
             if 'track' in camera_ids or camera_ids is True:
                 frame['track'] = np.asarray(rasterizer.render_tracking(
-                    fenv.model, fkd, terrain, **render_kwargs))
+                    fenv.model, fkd, terrain, ghost_data=ghost_fkd,
+                    **render_kwargs))
             frames.append(frame)
         step += 1
     return {'frames': frames, 'qpos': np.array(qposes),

@@ -209,12 +209,15 @@ def _ray_terrain(origin, dirs, terrain, n_steps: int = 48,
 def render_scene(model: FlyModel, data, cam_pos, cam_mat, terrain=None,
                  size: int = 32, fovy: float = 150.0,
                  floor_z: float | None = None,
-                 return_depth: bool = False):
+                 return_depth: bool = False,
+                 ghost_data=None, ghost_albedo: float = 1.45):
     """Ray-traced grayscale render from an arbitrary camera pose.
 
     cam_mat columns are the camera axes (x right, y up, looks along -z,
     MuJoCo convention). `floor_z` adds an infinite checkered ground plane
-    (for scenes without hfield terrain)."""
+    (for scenes without hfield terrain). `ghost_data` (optional): a
+    second FK'd Data rendered with washed-out albedo — the counterpart
+    of the reference's grey ghost reference fly (task_utils.py:124-153)."""
     meta = model.meta
     dtype = data.qpos.dtype
     spheres, capsules, ellipsoids, _ = _render_tables(meta)
@@ -235,26 +238,32 @@ def render_scene(model: FlyModel, data, cam_pos, cam_mat, terrain=None,
                 jnp.where(better[:, None], n, n_best),
                 jnp.where(better, alb, albedo))
 
+    def merge_fly(state, fly_data, alb: float):
+        if len(spheres):
+            c = fly_data.geom_xpos[spheres]
+            r = model.geom_size[spheres][:, 0]
+            t, n = _ray_spheres(origin, dirs, c, r)
+            state = merge(state, t, n, jnp.full_like(t, alb))
+        if len(capsules):
+            c = fly_data.geom_xpos[capsules]
+            axis = fly_data.geom_xmat[capsules][:, :, 2]
+            h = model.geom_size[capsules][:, 1]
+            r = model.geom_size[capsules][:, 0]
+            t, n = _ray_capsules(origin, dirs, c - h[:, None] * axis,
+                                 c + h[:, None] * axis, r)
+            state = merge(state, t, n, jnp.full_like(t, alb))
+        if len(ellipsoids):
+            c = fly_data.geom_xpos[ellipsoids]
+            mats = fly_data.geom_xmat[ellipsoids]
+            sz = jnp.maximum(model.geom_size[ellipsoids], 1e-4)
+            t, n = _ray_ellipsoids(origin, dirs, c, mats, sz)
+            state = merge(state, t, n, jnp.full_like(t, alb))
+        return state
+
     state = (t_best, n_best, albedo)
-    if len(spheres):
-        c = data.geom_xpos[spheres]
-        r = model.geom_size[spheres][:, 0]
-        t, n = _ray_spheres(origin, dirs, c, r)
-        state = merge(state, t, n)
-    if len(capsules):
-        c = data.geom_xpos[capsules]
-        axis = data.geom_xmat[capsules][:, :, 2]
-        h = model.geom_size[capsules][:, 1]
-        r = model.geom_size[capsules][:, 0]
-        t, n = _ray_capsules(origin, dirs, c - h[:, None] * axis,
-                             c + h[:, None] * axis, r)
-        state = merge(state, t, n)
-    if len(ellipsoids):
-        c = data.geom_xpos[ellipsoids]
-        mats = data.geom_xmat[ellipsoids]
-        sz = jnp.maximum(model.geom_size[ellipsoids], 1e-4)
-        t, n = _ray_ellipsoids(origin, dirs, c, mats, sz)
-        state = merge(state, t, n)
+    state = merge_fly(state, data, 1.0)
+    if ghost_data is not None:
+        state = merge_fly(state, ghost_data, ghost_albedo)
     if terrain is not None:
         t, n = _ray_terrain(origin, dirs, terrain)
         state = merge(state, t, n)
@@ -326,9 +335,10 @@ def tracking_camera_pose(target, azimuth_deg=30.0, elevation_deg=-25.0,
 def render_tracking(model: FlyModel, data, terrain=None, size: int = 64,
                     fovy: float = 60.0, azimuth_deg=30.0,
                     elevation_deg=-25.0, distance=2.0,
-                    floor_z: float | None = 0.0):
+                    floor_z: float | None = 0.0, ghost_data=None):
     """Third-person view tracking the fly root body (video rendering,
-    counterpart of the reference's MuJoCo tracking cameras)."""
+    counterpart of the reference's MuJoCo tracking cameras). Pass
+    `ghost_data` to draw the reference ghost fly (imitation tasks)."""
     meta = model.meta
     b = meta.body_names.index('thorax')
     cam_pos, cam_mat = tracking_camera_pose(
@@ -337,7 +347,7 @@ def render_tracking(model: FlyModel, data, terrain=None, size: int = 64,
     if terrain is not None:
         floor_z = None
     return render_scene(model, data, cam_pos, cam_mat, terrain, size, fovy,
-                        floor_z=floor_z)
+                        floor_z=floor_z, ghost_data=ghost_data)
 
 
 def render_eyes(model: FlyModel, data, terrain=None, size: int = 32,

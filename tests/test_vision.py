@@ -88,3 +88,35 @@ def test_tracking_camera_render():
     look = -np.asarray(pos)
     look = look / np.linalg.norm(look)
     np.testing.assert_allclose(fwd, look, atol=1e-6)
+
+
+def test_ghost_fly_render():
+    """Imitation ghost fly: walk env exposes ghost_qpos and the tracking
+    render draws it (reference add_ghost walker, tasks/base.py:141-154)."""
+    import jax.numpy as jnp
+    from flybody_tpu.envs import fly_envs
+    from flybody_tpu.physics import kinematics as kin
+    from flybody_tpu.physics.state import make_data
+    from flybody_tpu.vision import rasterizer
+
+    env = fly_envs.walk_imitation(functional=True)
+    rng = jax.random.PRNGKey(0)
+    task = env._init_task(rng)
+    gq = env.ghost_qpos(task, 0)
+    assert gq.shape == (env.model.meta.nq,)
+    # Root comes from the reference trajectory.
+    ref0 = env.store.qpos[task.traj_idx, 0]
+    np.testing.assert_allclose(np.asarray(gq[:7]), np.asarray(ref0[:7]))
+
+    # Render with the ghost offset to the side: pixels must differ.
+    data = make_data(env.model).replace(qpos=env.model.qpos0)
+    fkd, _, _ = kin.fwd_position_smooth(env.model, data)
+    gdata = make_data(env.model).replace(
+        qpos=gq.at[:3].set(jnp.asarray([0.15, 0.0, 0.12], gq.dtype)))
+    gfkd, _, _ = kin.fwd_position_smooth(env.model, gdata)
+    img_plain = np.asarray(rasterizer.render_tracking(
+        env.model, fkd, size=48, floor_z=0.0))
+    img_ghost = np.asarray(rasterizer.render_tracking(
+        env.model, fkd, size=48, floor_z=0.0, ghost_data=gfkd))
+    assert np.isfinite(img_ghost).all()
+    assert (img_ghost != img_plain).any()
