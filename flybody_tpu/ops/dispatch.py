@@ -19,7 +19,8 @@ def _disabled() -> frozenset[str]:
     if not v:
         return frozenset()
     if v == 'all':
-        return frozenset({'chol', 'noslip', 'mpr', 'linesearch'})
+        return frozenset({'chol', 'noslip', 'mpr', 'linesearch',
+                          'arrow', 'newton', 'narrow'})
     return frozenset(p.strip() for p in v.split(',') if p.strip())
 
 

@@ -127,12 +127,14 @@ def alpha_ref(lim, con, sc, expand_iters: int, ls_iters: int):
 # ------------------------------------------------------------------ kernel
 
 
-def _ls_kernel(expand_iters, ls_iters, lim_ref, con_ref, sc_ref, out_ref):
-    lim = lim_ref[...]           # (4, L, 128)
-    con = con_ref[...]           # (10, K, 128)
-    sm0 = sc_ref[0, :, :]        # (1, 128)
-    smm = sc_ref[1, :, :]
+def search_planes(lim, con, sm0, smm, expand_iters, ls_iters):
+    """The whole line search on (rows, lanes) component planes.
 
+    lim: (4, L, lanes) [jar0_l | jv_l | active_l | D_l];
+    con: (10, K, lanes) [jar0 xyz | jv xyz | mu | frictional | act | D];
+    sm0/smm: (1, lanes). Returns alpha (1, lanes). Shared by the
+    standalone line-search kernel and the fused Newton-step kernel
+    (ops/newton_fused.py)."""
     jar0_l, jv_l = lim[0], lim[1]
     act0_l, D_l = lim[2], lim[3]
     j0n, j0t1, j0t2 = con[0], con[1], con[2]
@@ -213,8 +215,13 @@ def _ls_kernel(expand_iters, ls_iters, lim_ref, con_ref, sc_ref, out_ref):
     lo, hi = jax.lax.fori_loop(0, ls_iters, bisect, (lo, hi))
     alpha = 0.5 * (lo + hi)
     s0, _ = slope_curv(jnp.zeros_like(alpha))
-    out_ref[...] = jnp.where(s0 < 0, alpha,
-                             jnp.zeros_like(alpha))[None]
+    return jnp.where(s0 < 0, alpha, jnp.zeros_like(alpha))
+
+
+def _ls_kernel(expand_iters, ls_iters, lim_ref, con_ref, sc_ref, out_ref):
+    alpha = search_planes(lim_ref[...], con_ref[...], sc_ref[0, :, :],
+                          sc_ref[1, :, :], expand_iters, ls_iters)
+    out_ref[...] = alpha[None]
 
 
 @functools.partial(jax.jit, static_argnames=('expand_iters', 'ls_iters',

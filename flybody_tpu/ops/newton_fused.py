@@ -1,0 +1,304 @@
+"""Fused Newton reuse step as ONE Pallas TPU kernel.
+
+A refactor-period Newton 'reuse' iteration is: gradient from carried
+state -> arrow solve with the cached factor -> Woodbury correction ->
+exact line search -> linear state update. In XLA that is ~6 dispatches
+per iteration, each re-reading M / con_J / the factor from HBM with
+small intermediates bouncing in between. This kernel runs the WHOLE
+iteration VMEM-resident per (128-env) lane block: M, con_J, the packed
+arrow factor, and the Woodbury operators are read from HBM exactly once,
+and everything else (cone forces, substitutions, the entire line
+search) happens on registers/VMEM.
+
+State carried across iterations (see physics/solver.py):
+    x      (nv,)   current qacc iterate
+    msm    (nv,)   M (x - a_free)
+    jar_l  (L,)    limit-row jar values
+    jar_c  (K, 3)  contact jar values
+All four update linearly along the accepted step.
+
+The per-env primal composes the existing jnp references (arrow solve,
+alpha_ref) so CPU tests exercise the same math; the pallas path engages
+under vmap on TPU (custom_vmap, like every other hot op).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import custom_batching
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flybody_tpu.ops import arrow as _arrow
+from flybody_tpu.ops import linesearch as _ls
+
+LANES = 128
+
+
+def _use_pallas():
+    from flybody_tpu.ops.dispatch import pallas_enabled
+    return pallas_enabled('newton')
+
+
+def _cone_residual_planes(N, y1, y2, mu, fric):
+    """Elliptic-cone residual on (K, lanes) component planes (same math
+    as solver._cone_residual / linesearch.search_planes zone selects)."""
+    amu = 1.0 / jnp.maximum(mu, 1e-6)
+    c_ = 1.0 / (1.0 + amu * amu)
+    T = jnp.sqrt(y1 * y1 + y2 * y2)
+    safe_T = jnp.maximum(T, 1e-15)
+    w = (N + amu * T) * c_
+    top = N >= mu * T
+    bottom = mu * N + T <= 0.0
+    coef = 1.0 - amu * w / safe_T
+    r0 = jnp.where(bottom, N, N - w)
+    r1 = jnp.where(bottom, y1, y1 * coef)
+    r2 = jnp.where(bottom, y2, y2 * coef)
+    r0 = jnp.where(top, 0.0, r0)
+    r1 = jnp.where(top, 0.0, r1)
+    r2 = jnp.where(top, 0.0, r2)
+    fric_pos = fric > 0
+    r0 = jnp.where(fric_pos, r0, jnp.minimum(N, 0.0))
+    r1 = jnp.where(fric_pos, r1, 0.0)
+    r2 = jnp.where(fric_pos, r2, 0.0)
+    return r0, r1, r2
+
+
+def _make_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
+                 lim_dof: tuple, lim_sign: tuple, ls_iters: int):
+    nv = part.nv
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    solve_body = _arrow._make_solve_body(part, 1)
+
+    def body(f_ref, m_ref, j_ref, z_ref, u_ref, lc_ref, xm_ref, jl_ref,
+             jc_ref, lp_ref, cp_ref, xm_o, jl_o, jc_o,
+             g_scr, t_scr, yl, cl):
+        dtype = m_ref.dtype
+        x = xm_ref[0]       # (nv, L)
+        msm = xm_ref[1]
+        jar_l = jl_ref[0]   # (nlim, L)
+        N, y1, y2 = jc_ref[0], jc_ref[1], jc_ref[2]  # (K, L)
+        actl, Dl = lp_ref[0], lp_ref[1]
+        mu, fric, actc, Dc = cp_ref[0], cp_ref[1], cp_ref[2], cp_ref[3]
+
+        # Constraint forces at the carried jar values.
+        f_l = jnp.where(jar_l < 0, -Dl * jar_l * actl, 0.0)
+        r0, r1, r2 = _cone_residual_planes(N, y1, y2, mu, fric)
+        Dact = Dc * actc
+        f0, f1, f2 = -Dact * r0, -Dact * r1, -Dact * r2
+
+        # Gradient g = msm - scatter(lim forces) - J^T f. Limit rows
+        # each touch ONE dof (static index): iota-masked row adds
+        # (Mosaic lowers neither scatter-add nor captured constant
+        # matrices; a where per row is cheap at nlim ~ 44).
+        rows_nv = jax.lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
+        g = msm
+        for li, (d, sg) in enumerate(zip(lim_dof, lim_sign)):
+            g = jnp.where(rows_nv == d, g - sg * f_l[li:li + 1, :], g)
+        frows = jnp.stack([f0, f1, f2], axis=1).reshape(3 * K, -1)
+        g = g - jnp.sum(j_ref[...] * frows[:, None, :], axis=0)
+
+        # Arrow substitution with the cached factor (VMEM-resident).
+        g_scr[...] = g[None]
+        solve_body(f_ref, g_scr, t_scr, yl, cl)
+        t = t_scr[0]  # (nv, L)
+
+        # Woodbury: dx = -(t - Z (LC LC^T)^-1 U^T t).
+        Ut = jnp.sum(u_ref[...] * t[:, None, :], axis=0)  # (SB3, L)
+        rsel = jax.lax.broadcasted_iota(jnp.int32, (SB3, 1), 0)
+        wv = jnp.zeros_like(Ut)
+        for kk in range(SB3):  # forward LC w = Ut (static unroll)
+            row = lc_ref[kk, :, :]  # (SB3, L)
+            acc = jnp.sum(row * wv, axis=0, keepdims=True)
+            val = (Ut[kk:kk + 1, :] - acc) / lc_ref[kk, kk, :][None]
+            wv = jnp.where(rsel == kk, val, wv)
+        wb = jnp.zeros_like(wv)
+        cr = jnp.zeros_like(wv)
+        for i2 in range(SB3):  # backward LC^T w = wv
+            kk = SB3 - 1 - i2
+            val = (wv[kk:kk + 1, :] - cr[kk:kk + 1, :]) / (
+                lc_ref[kk, kk, :][None])
+            wb = jnp.where(rsel == kk, val, wb)
+            cr = cr + lc_ref[kk, :, :] * val
+        dx = -(t - jnp.sum(z_ref[...] * wb[None, :, :], axis=1))
+
+        # Line-search precomputes (M and J read once more from VMEM).
+        mdx = jnp.sum(m_ref[...] * dx[None, :, :], axis=1)  # (nv, L)
+        jv = jnp.sum(j_ref[...] * dx[None, :, :], axis=1)   # (3K, L)
+        jv3 = jv.reshape(K, 3, -1)
+        jvn, jvt1, jvt2 = jv3[:, 0, :], jv3[:, 1, :], jv3[:, 2, :]
+        jv_l = jnp.concatenate(
+            [sg * dx[d:d + 1, :] for d, sg in zip(lim_dof, lim_sign)],
+            axis=0)
+        sm0 = jnp.sum(msm * dx, axis=0, keepdims=True)
+        smm = jnp.sum(dx * mdx, axis=0, keepdims=True)
+        lim_planes = jnp.stack([jar_l, jv_l, actl, Dl])
+        con_planes = jnp.stack([N, y1, y2, jvn, jvt1, jvt2,
+                                mu, fric, actc, Dc])
+        alpha = _ls.search_planes(lim_planes, con_planes, sm0, smm,
+                                  6, ls_iters)  # (1, L)
+
+        xm_o[...] = jnp.stack([x + alpha * dx, msm + alpha * mdx])
+        jl_o[...] = (jar_l + alpha * jv_l)[None]
+        jc_o[...] = jnp.stack([N + alpha * jvn, y1 + alpha * jvt1,
+                               y2 + alpha * jvt2])
+
+    return body
+
+
+@functools.lru_cache(maxsize=16)
+def _fused_fn(part: _arrow.Part, K: int, SB3: int, nlim: int,
+              lim_dof: tuple, lim_sign: tuple, ls_iters: int,
+              interpret: bool = False):
+    nv = part.nv
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    body = _make_kernel(part, K, SB3, nlim, lim_dof, lim_sign, ls_iters)
+
+    @jax.jit
+    def run(F_t, M_t, J_t, Z_t, U_t, LC_t, xm_t, jl_t, jc_t, lp_t, cp_t):
+        B = M_t.shape[-1]
+        grid = (B // LANES,)
+
+        def spec(*shape):
+            return pl.BlockSpec(shape + (LANES,),
+                                lambda i: (0,) * len(shape) + (i,),
+                                memory_space=pltpu.VMEM)
+
+        return pl.pallas_call(
+            body,
+            out_shape=(jax.ShapeDtypeStruct((2, nv, B), M_t.dtype),
+                       jax.ShapeDtypeStruct((1, nlim, B), M_t.dtype),
+                       jax.ShapeDtypeStruct((3, K, B), M_t.dtype)),
+            grid=grid,
+            in_specs=[spec(nl + 1, dm + nr, dm), spec(nv, nv),
+                      spec(3 * K, nv), spec(nv, SB3), spec(nv, SB3),
+                      spec(SB3, SB3), spec(2, nv), spec(1, nlim),
+                      spec(3, K), spec(2, nlim), spec(4, K)],
+            out_specs=(spec(2, nv), spec(1, nlim), spec(3, K)),
+            scratch_shapes=[pltpu.VMEM((1, nv, LANES), jnp.float32),
+                            pltpu.VMEM((1, nv, LANES), jnp.float32),
+                            pltpu.VMEM((nl, 1, dm, LANES), jnp.float32),
+                            pltpu.VMEM((nl, 1, dm, LANES), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(F_t, M_t, J_t, Z_t, U_t, LC_t, xm_t, jl_t, jc_t, lp_t, cp_t)
+
+    return run
+
+
+def _ref_step(part, lim_dof, lim_sign, ls_iters, F, M, conJ, Z, U, LC,
+              x, msm, jar_l, jar_c, lim_params, con_params):
+    """Single-env jnp reference: same composition as the kernel."""
+    import jax.scipy.linalg as jsl
+    K = conJ.shape[0]
+    dtype = x.dtype
+    actl, Dl = lim_params[0], lim_params[1]
+    mu, fric, actc, Dc = (con_params[0], con_params[1], con_params[2],
+                          con_params[3])
+    sign = jnp.asarray(np.array(lim_sign), dtype)
+    dof = np.array(lim_dof, dtype=np.int64)
+
+    f_l = jnp.where(jar_l < 0, -Dl * jar_l * actl, 0.0)
+    r0, r1, r2 = _cone_residual_planes(
+        jar_c[:, 0], jar_c[:, 1], jar_c[:, 2], mu, fric)
+    Dact = Dc * actc
+    f_c = jnp.stack([-Dact * r0, -Dact * r1, -Dact * r2], axis=1)
+    g = msm.at[dof].add(-f_l * sign)
+    g = g - jnp.sum(conJ * f_c[:, :, None], axis=(0, 1))
+
+    t = _arrow.solve_ref(part, F, g)
+    w = jsl.cho_solve((LC, True), U.T @ t)
+    dx = -(t - Z @ w)
+
+    mdx = jnp.sum(M * dx[None, :], axis=-1)
+    jv_c = jnp.sum(conJ * dx[None, None, :], axis=-1)  # (K, 3)
+    jv_l = dx[dof] * sign
+    sm0 = jnp.dot(msm, dx)
+    smm = jnp.dot(dx, mdx)
+    lim = jnp.stack([jar_l, jv_l, actl, Dl])
+    con = jnp.concatenate([jar_c.T, jv_c.T, mu[None], fric[None],
+                           actc[None], Dc[None]])
+    sc = jnp.stack([sm0[None], smm[None]])
+    alpha = _ls.alpha_ref(lim, con, sc, 6, ls_iters)
+    return (x + alpha * dx, msm + alpha * mdx, jar_l + alpha * jv_l,
+            jar_c + alpha * jv_c)
+
+
+@functools.lru_cache(maxsize=16)
+def make_reuse_pe(part: _arrow.Part, lim_dof: tuple, lim_sign: tuple,
+                  ls_iters: int, interpret: bool = False):
+    """Per-env fused Newton reuse step; pallas-batched under vmap on TPU.
+
+    Per-env args: F (packed arrow factor), M (nv, nv), conJ (K, 3, nv),
+    Z/U (nv, 3SB), LC (3SB, 3SB), x/msm (nv,), jar_l (L,), jar_c (K, 3),
+    lim_params (2, L) [active | D], con_params (4, K)
+    [mu | frictional | active | D]. Returns the updated
+    (x, msm, jar_l, jar_c)."""
+    nlim = len(lim_dof)
+
+    @custom_batching.custom_vmap
+    def f(F, M, conJ, Z, U, LC, x, msm, jar_l, jar_c, lim_params,
+          con_params):
+        return _ref_step(part, lim_dof, lim_sign, ls_iters, F, M, conJ,
+                         Z, U, LC, x, msm, jar_l, jar_c, lim_params,
+                         con_params)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, F, M, conJ, Z, U, LC, x, msm,
+              jar_l, jar_c, lim_params, con_params):
+        del axis_size
+        args = (F, M, conJ, Z, U, LC, x, msm, jar_l, jar_c, lim_params,
+                con_params)
+        if not all(in_batched) or not (_use_pallas() or interpret):
+            axes = [0 if b else None for b in in_batched]
+            out = jax.vmap(lambda *a: _ref_step(
+                part, lim_dof, lim_sign, ls_iters, *a),
+                in_axes=axes)(*args)
+            return out, (True, True, True, True)
+        B = M.shape[0]
+        K = conJ.shape[1]
+        SB3 = Z.shape[-1]
+        pad = (-B) % LANES
+
+        def tol(v, pad_val=0.0):
+            v = jnp.moveaxis(v, 0, -1)
+            if pad:
+                fill = jnp.full(v.shape[:-1] + (pad,), pad_val, v.dtype)
+                v = jnp.concatenate([v, fill], axis=-1)
+            return v
+
+        F_t = tol(F)
+        if pad:  # dead lanes need a valid (identity) factor + LC diag
+            F_t = F_t.at[..., B:].set(
+                _arrow._identity_factor(part, F.dtype))
+        M_t = tol(M)
+        J_t = tol(conJ.reshape(B, 3 * K, -1))
+        Z_t = tol(Z)
+        U_t = tol(U)
+        LC_t = tol(LC)
+        if pad:
+            eye = jnp.eye(SB3, dtype=LC.dtype)[:, :, None]
+            LC_t = LC_t.at[..., B:].set(eye)
+        xm_t = tol(jnp.stack([x, msm], axis=1))
+        jl_t = tol(jar_l)[None]  # (1, nlim, B)
+        jc_t = tol(jnp.swapaxes(jar_c, 1, 2))  # (3, K, B)
+        lp_t = tol(lim_params)
+        cp_t = tol(con_params)
+        run = _fused_fn(part, K, SB3, nlim, lim_dof, lim_sign, ls_iters,
+                        interpret)
+        xm_o, jl_o, jc_o = run(F_t, M_t, J_t, Z_t, U_t, LC_t, xm_t,
+                               jl_t, jc_t, lp_t, cp_t)
+
+        def fro(v):
+            return jnp.moveaxis(v[..., :B], -1, 0)
+
+        xm = fro(xm_o)
+        return (xm[:, 0], xm[:, 1], fro(jl_o)[:, 0],
+                jnp.swapaxes(fro(jc_o), 1, 2)), (True, True, True, True)
+
+    return f

@@ -635,6 +635,15 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         fricb = ohb @ efc.con_frictional
         actb = ohb @ brk
         eye_sb = jnp.eye(3 * SB, dtype=dtype)
+        # Fused reuse-step kernel (gradient + arrow solve + Woodbury +
+        # line search in ONE launch, ops/newton_fused.py).
+        from flybody_tpu.ops import newton_fused as _nf
+        fused_reuse = _nf.make_reuse_pe(
+            part, tuple(int(v) for v in lim_dof_idx),
+            tuple(float(v) for v in lim_sign_st), ls_iterations)
+        lim_params = jnp.stack([efc.lim_active, efc.lim_D])
+        con_params = jnp.stack([efc.con_mu, efc.con_frictional,
+                                efc.con_active, efc.con_D])
 
     def fresh_step_arrow(st):
         """Arrow Newton step: block-sparse factor of the compatible part
@@ -662,11 +671,9 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
 
     def reuse_step_arrow(st, fac):
         F, Z, LC, U = fac
-        g = grad_from(st[1], st[2], st[3])
-        t = aops.solve_pe(F, g)
-        w = _pchol.cho_solve_pe(LC, jnp.sum(U * t[:, None], axis=0))
-        dx = -(t - jnp.sum(Z * w[None, :], axis=-1))
-        return ls_and_update(st, dx)
+        x, msm, jar_l, jar_c = st
+        return fused_reuse(F, M, efc.con_J, Z, U, LC, x, msm, jar_l,
+                           jar_c, lim_params, con_params)
 
     def fresh_step_dense(st):
         """Newton step with fresh Hessian assembly + fused factor/solve."""

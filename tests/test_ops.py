@@ -326,3 +326,67 @@ def test_mpr_merged_kernel_mixed_types():
                                atol=1e-4)
     ndot = np.asarray(jnp.sum(n * refs_n, -1))[near]
     assert ndot.min() > 0.999
+
+
+def test_fused_newton_reuse_step_interpret():
+    """The fused reuse-step kernel (ops/newton_fused.py) matches the jnp
+    reference composition on every output of the carried Newton state."""
+    from flybody_tpu.model import compile as fmc
+    from flybody_tpu.ops import arrow, newton_fused
+
+    fly, _ = fmc.build_fly_model()
+    part = arrow.build_partition(fly.meta)
+    rng = np.random.RandomState(3)
+    B, K, SB3, nlim = 160, 8, 6, 12
+    nv = part.nv
+    lim_dof = tuple(int(v) for v in rng.choice(nv, nlim, replace=False))
+    lim_sign = tuple(float(s) for s in rng.choice([-1.0, 1.0], nlim))
+
+    def rand_arrow_spd():
+        X = rng.randn(nv, nv).astype(np.float32) * 0.2
+        S = X @ X.T + np.eye(nv, dtype=np.float32) * 3.0
+        mask = np.zeros((nv, nv), np.float32)
+        mask[:part.nr, :] = 1
+        mask[:, :part.nr] = 1
+        for lo, d in zip(part.los, part.ds):
+            mask[lo:lo + d, lo:lo + d] = 1
+        A = S * mask + np.eye(nv, dtype=np.float32) * 3.0
+        return (A + A.T) / 2
+
+    As = np.stack([rand_arrow_spd() for _ in range(B)])
+    F = jax.vmap(lambda a: arrow.factor_ref(part, a))(jnp.asarray(As))
+    M = jnp.asarray(As)  # reuse as a stand-in mass matrix (SPD)
+    conJ = jnp.asarray(rng.randn(B, K, 3, nv).astype(np.float32) * 0.3)
+    U = jnp.asarray(rng.randn(B, nv, SB3).astype(np.float32) * 0.3)
+    Z = jax.vmap(lambda f, u: arrow.solve_ref(part, f, u))(F, U)
+    C = (jnp.eye(SB3)[None]
+         + jnp.einsum('bik,bil->bkl', U, Z)).astype(jnp.float32)
+    LC = jnp.linalg.cholesky(C)
+    x = jnp.asarray(rng.randn(B, nv).astype(np.float32) * 0.1)
+    msm = jnp.asarray(rng.randn(B, nv).astype(np.float32) * 0.1)
+    jar_l = jnp.asarray(rng.randn(B, nlim).astype(np.float32) * 0.01)
+    jar_c = jnp.asarray(rng.randn(B, K, 3).astype(np.float32) * 0.01)
+    lim_params = jnp.asarray(np.stack([
+        (rng.rand(B, nlim) < 0.5).astype(np.float32),
+        rng.rand(B, nlim).astype(np.float32) * 100.0], axis=1))
+    con_params = jnp.asarray(np.stack([
+        0.5 + rng.rand(B, K).astype(np.float32),
+        (rng.rand(B, K) < 0.8).astype(np.float32),
+        (rng.rand(B, K) < 0.6).astype(np.float32),
+        rng.rand(B, K).astype(np.float32) * 100.0], axis=1))
+
+    args = (F, M, conJ, Z, U, LC, x, msm, jar_l, jar_c, lim_params,
+            con_params)
+    # ls_iters=30: with few bisection iterations, f32 branch flips in
+    # the search leave alpha mid-bracket and the comparison measures
+    # bisection noise, not kernel correctness; at 30 both paths converge
+    # to the same minimizer.
+    ref = jax.vmap(lambda *a: newton_fused._ref_step(
+        part, lim_dof, lim_sign, 30, *a))(*args)
+    fused = newton_fused.make_reuse_pe(part, lim_dof, lim_sign, 30,
+                                       interpret=True)
+    out = jax.vmap(fused)(*args)
+    names = ['x', 'msm', 'jar_l', 'jar_c']
+    for nm, o, r in zip(names, out, ref):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=0, atol=5e-4, err_msg=nm)

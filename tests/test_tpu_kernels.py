@@ -88,6 +88,65 @@ def test_compiled_linesearch():
     assert close.mean() > 0.95, close.mean()
 
 
+def test_compiled_fused_newton_reuse_step():
+    """Fused Newton reuse-step kernel (ops/newton_fused.py) vs its jnp
+    reference, compiled on the real device."""
+    from flybody_tpu.model import compile as fmc
+    from flybody_tpu.ops import arrow, newton_fused
+
+    fly, _ = fmc.build_fly_model()
+    part = arrow.build_partition(fly.meta)
+    rng = np.random.RandomState(3)
+    B, K, SB3, nlim = 256, 8, 6, 12
+    nv = part.nv
+    lim_dof = tuple(int(v) for v in rng.choice(nv, nlim, replace=False))
+    lim_sign = tuple(float(s) for s in rng.choice([-1.0, 1.0], nlim))
+
+    def rand_arrow_spd():
+        X = rng.randn(nv, nv).astype(np.float32) * 0.2
+        S = X @ X.T + np.eye(nv, dtype=np.float32) * 3.0
+        mask = np.zeros((nv, nv), np.float32)
+        mask[:part.nr, :] = 1
+        mask[:, :part.nr] = 1
+        for lo, d in zip(part.los, part.ds):
+            mask[lo:lo + d, lo:lo + d] = 1
+        A = S * mask + np.eye(nv, dtype=np.float32) * 3.0
+        return (A + A.T) / 2
+
+    As = np.stack([rand_arrow_spd() for _ in range(B)])
+    F = jax.vmap(lambda a: arrow.factor_ref(part, a))(jnp.asarray(As))
+    M = jnp.asarray(As)
+    conJ = jnp.asarray(rng.randn(B, K, 3, nv).astype(np.float32) * 0.3)
+    U = jnp.asarray(rng.randn(B, nv, SB3).astype(np.float32) * 0.3)
+    Z = jax.vmap(lambda f, u: arrow.solve_ref(part, f, u))(F, U)
+    C = (jnp.eye(SB3)[None]
+         + jnp.einsum('bik,bil->bkl', U, Z)).astype(jnp.float32)
+    LC = jnp.linalg.cholesky(C)
+    x = jnp.asarray(rng.randn(B, nv).astype(np.float32) * 0.1)
+    msm = jnp.asarray(rng.randn(B, nv).astype(np.float32) * 0.1)
+    jar_l = jnp.asarray(rng.randn(B, nlim).astype(np.float32) * 0.01)
+    jar_c = jnp.asarray(rng.randn(B, K, 3).astype(np.float32) * 0.01)
+    lim_params = jnp.asarray(np.stack([
+        (rng.rand(B, nlim) < 0.5).astype(np.float32),
+        rng.rand(B, nlim).astype(np.float32) * 100.0], axis=1))
+    con_params = jnp.asarray(np.stack([
+        0.5 + rng.rand(B, K).astype(np.float32),
+        (rng.rand(B, K) < 0.8).astype(np.float32),
+        (rng.rand(B, K) < 0.6).astype(np.float32),
+        rng.rand(B, K).astype(np.float32) * 100.0], axis=1))
+
+    args = (F, M, conJ, Z, U, LC, x, msm, jar_l, jar_c, lim_params,
+            con_params)
+    ref = jax.jit(jax.vmap(lambda *a: newton_fused._ref_step(
+        part, lim_dof, lim_sign, 30, *a)))(*args)
+    fused = newton_fused.make_reuse_pe(part, lim_dof, lim_sign, 30)
+    out = jax.jit(jax.vmap(fused))(*args)
+    for nm, o, r in zip(['x', 'msm', 'jar_l', 'jar_c'], out, ref):
+        got, want = np.asarray(o), np.asarray(r)
+        close = np.isclose(got, want, rtol=1e-2, atol=2e-3)
+        assert close.mean() > 0.995, (nm, close.mean())
+
+
 def test_compiled_engine_step_finite():
     """Full engine step (all pallas kernels live) at a modest batch."""
     from flybody_tpu.envs import fly_envs
