@@ -625,17 +625,8 @@ def _mpr_merged(model: FlyModel, data: Data, gcat: jax.Array):
     d_bound = (jnp.linalg.norm(c2_all[:, :3] - c1_all[:, :3], axis=-1)
                - rb[g1] - rb[g2] - mg[g1] - mg[g2])
     P = min(MPR_MERGED_TOP_P, n_all)
-    # Sort-free candidate compaction: only pairs with negative bound
-    # distance can possibly contact, so collect THOSE (in slot order)
-    # instead of a top-P sort — top_k lowers to a full sort on TPU
-    # (~6 ms at batch 8192 for 1.2k pairs; the flag+cumsum one-hot is
-    # ~1 ms). Overflow beyond P drops the last candidates in slot order
-    # (P has >4x headroom over the measured walking peak).
-    from flybody_tpu.physics.math import exclusive_cumsum as _exc
-    flag = (d_bound < 0.0).astype(dtype)
-    pos = _exc(flag)  # exclusive prefix sum = dest row (MXU form)
-    oh = ((pos[None, :] == jnp.arange(P, dtype=dtype)[:, None])
-          & (flag[None, :] > 0)).astype(dtype)  # (P, n_all)
+    _, idx = jax.lax.top_k(-d_bound, P)
+    oh = jax.nn.one_hot(idx, n_all, dtype=dtype)  # (P, n_all)
     c1 = oh @ c1_all
     c2 = oh @ c2_all
     pos1, mat1 = _split_cat(c1)

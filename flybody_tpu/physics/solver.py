@@ -202,57 +202,58 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
     # Batched per-slot state [dist | pos | normal] (S, 7).
     bcat = jnp.concatenate([con.dist[:, None], con.pos, con.normal], -1)
 
-    # Sort-free two-stage ACTIVE COMPACTION. A slot can be active only
-    # when score = dist - includemargin < 0, so instead of a top-k sort
-    # (lax.top_k lowers to a full sort on TPU — ~6 ms at batch 8192 over
-    # S=2852), collect the active slots in slot order:
-    #   stage 1: compact the tiles containing any active slot to T=k
-    #            tile rows (tiny (T, nt) one-hot GEMMs);
-    #   stage 2: route each active slot to its global prefix-sum
-    #            position with a (k, T*TILE) one-hot built by direct
-    #            comparison (no sort anywhere).
-    # Exact for <= k actives (3.5x headroom at bench settings, matching
-    # MuJoCo's own contact-cap semantics); overflow drops the LAST
-    # actives in slot order. Unfilled rows are padded to a separated
-    # dummy (dist 1e10, +z normal).
     TILE = 32
-    from flybody_tpu.physics.math import exclusive_cumsum as _exc
-    flag = (score < 0.0).astype(dtype)
-    gpos = _exc(flag)  # exclusive prefix sum = dest row (MXU form)
-    pad_len = (-S) % TILE
-    nt = (S + pad_len) // TILE
-    T = min(k, nt)
-    zpad = jnp.zeros((pad_len,), dtype)
-    flag_p = jnp.concatenate([flag, zpad]).reshape(nt, TILE)
-    gpos_p = jnp.concatenate([gpos, zpad]).reshape(nt, TILE)
-    tflag = flag_p.max(axis=1)  # tile contains an active slot
-    tpos = _exc(tflag)
-    oh_t = ((tpos[None, :] == jnp.arange(T, dtype=dtype)[:, None])
-            & (tflag[None, :] > 0)).astype(dtype)  # (T, nt)
-    # Tile-gather each table SEPARATELY (ucat is an unbatched model
-    # constant — concatenating it into the batched table would
-    # materialize a (B, S, 21) array).
-    bpad_row = jnp.zeros((7,), dtype).at[0].set(1e10).at[6].set(1.0)
-    bcat_p = jnp.concatenate(
-        [bcat, jnp.broadcast_to(bpad_row, (pad_len, 7))])
-    bcat_t = (oh_t @ bcat_p.reshape(nt, TILE * 7)).reshape(T * TILE, 7)
-    nu = ucat.shape[-1]
-    ucat_p = jnp.concatenate([ucat, jnp.zeros((pad_len, nu), dtype)])
-    ucat_t = (oh_t @ ucat_p.reshape(nt, TILE * nu)).reshape(T * TILE, nu)
-    sidx_p = jnp.concatenate(
-        [jnp.arange(S, dtype=dtype), zpad]).reshape(nt, TILE)
-    aux_t = (oh_t @ jnp.concatenate(
-        [flag_p, gpos_p, sidx_p], -1)).reshape(T, 3, TILE)
-    flag_t = aux_t[:, 0, :].reshape(T * TILE)
-    gpos_t = aux_t[:, 1, :].reshape(T * TILE)
-    sidx_t = aux_t[:, 2, :].reshape(T * TILE)
-    oh = ((gpos_t[None, :] == jnp.arange(k, dtype=dtype)[:, None])
-          & (flag_t[None, :] > 0)).astype(dtype)  # (k, T*TILE)
-    bsel = oh @ bcat_t
-    usel = oh @ ucat_t
-    have = jnp.sum(oh, axis=1)  # (k,) 1 for filled rows
-    bsel = bsel + (1.0 - have)[:, None] * bpad_row
-    sel = jnp.round(oh @ sidx_t).astype(jnp.int32)
+    if S > 16 * TILE:
+        # Two-stage exact top-k: pick the T tiles with the smallest
+        # per-tile minimum, then top-k within those tiles' T*TILE
+        # candidates. Exact for k <= T: any element of a non-selected
+        # tile is >= that tile's min, which is >= T selected tile mins,
+        # i.e. >= T >= k other elements. Cuts the top_k from S=2223 to
+        # 1024 and shrinks the one-hot gather GEMM from (K, S) to
+        # (K, T*TILE) — the S-sized one-hot alone is ~2.3 GB of HBM at
+        # batch 8192.
+        pad_len = (-S) % TILE
+        nt = (S + pad_len) // TILE
+        # T = nt means all tiles are kept (still cheaper: the gathers and
+        # the second top_k stay tile-shaped).
+        T = min(max(TILE, k), nt)
+        score_p = jnp.concatenate(
+            [score, jnp.full((pad_len,), 1e10, dtype)])
+        tiles = score_p.reshape(nt, TILE)
+        tmin = tiles.min(axis=1)
+        _, tidx = jax.lax.top_k(-tmin, T)
+        # All tile gathers ride small (T, nt) one-hot GEMMs — batched
+        # traced row gathers lower to per-row loops on TPU (~100 ms at
+        # batch 8192, measured).
+        oh_t = jax.nn.one_hot(tidx, nt, dtype=dtype)  # (T, nt)
+        cand = (oh_t @ tiles).reshape(T * TILE)
+        _, lsel = jax.lax.top_k(-cand, k)
+        oh_lt = jax.nn.one_hot(lsel // TILE, T, dtype=dtype)  # (k, T)
+        sel_tile = jnp.round(oh_lt @ tidx.astype(dtype)).astype(jnp.int32)
+        sel = sel_tile * TILE + (lsel % TILE).astype(jnp.int32)
+        # Tile-gather each table SEPARATELY (ucat is an unbatched model
+        # constant — concatenating it into the batched table would
+        # materialize a (B, S, 21) array), then pick rows with one
+        # (K, T*TILE) one-hot GEMM each.
+        bpad_row = jnp.zeros((7,), dtype).at[0].set(1e10).at[6].set(1.0)
+        bcat_p = jnp.concatenate(
+            [bcat, jnp.broadcast_to(bpad_row, (pad_len, 7))])
+        bcat_t = (oh_t @ bcat_p.reshape(nt, TILE * 7)).reshape(
+            T * TILE, 7)
+        ucat_p = jnp.concatenate(
+            [ucat, jnp.zeros((pad_len, ucat.shape[-1]), dtype)])
+        nu = ucat.shape[-1]
+        ucat_t = (oh_t @ ucat_p.reshape(nt, TILE * nu)).reshape(
+            T * TILE, nu)
+        oh = jax.nn.one_hot(lsel, T * TILE, dtype=dtype)
+        bsel = oh @ bcat_t
+        usel = oh @ ucat_t
+    else:
+        _, sel = jax.lax.top_k(-score, k)
+        sel = sel.astype(jnp.int32)
+        oh = jax.nn.one_hot(sel, S, dtype=dtype)  # (K, S)
+        bsel = oh @ bcat  # (K, 7)
+        usel = oh @ ucat
 
     c_dist = bsel[:, 0]
     c_pos = bsel[:, 1:4]
