@@ -37,10 +37,13 @@ def main():
     # refactor_period=2 refreshes the Newton Hessian factor every other
     # iteration; noslip runs on the 16 deepest slots.
     ncon = int(os.environ.get('BENCH_NCON', 32))
-    # refactor_period=4 at 8 iterations (2 fresh + 6 reuse steps) both
-    # converges better (median rel qacc err 2.5e-15 vs reference solve,
-    # p95 0.096 — measured sweep) and costs ~25% less than period 2.
-    refactor = int(os.environ.get('BENCH_REFACTOR', 4))
+    # refactor_period=8 at 8 iterations (1 fresh + 7 reuse steps): the
+    # fused reuse kernel is ~1.2 ms/iter vs ~13 ms for a fresh
+    # factor+solve iteration, and accuracy stays in the shipped regime
+    # (median rel qacc err 2.3e-3 vs 30-iter reference, p95 0.076 over
+    # 4096 rollout states; refactor=4 measures p95 0.012 but costs 14%
+    # more wall clock -- sweep /tmp/solver_acc.py methodology).
+    refactor = int(os.environ.get('BENCH_REFACTOR', 8))
     noslip_con = int(os.environ.get('BENCH_NOSLIP_CON', 16))
     walk_iters = int(os.environ.get('BENCH_SOLVER_ITERS', 8))
     ls_iters = int(os.environ.get('BENCH_LS_ITERS', 6))
