@@ -69,7 +69,8 @@ def _cone_residual_planes(N, y1, y2, mu, fric):
 
 
 def _make_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
-                 lim_dof: tuple, lim_sign: tuple, ls_iters: int):
+                 lim_dof: tuple, lim_sign: tuple, ls_iters: int,
+                 n_iters: int = 1):
     nv = part.nv
     nl, dm, nr = len(part.ds), part.dmax, part.nr
     solve_body = _arrow._make_solve_body(part, 1)
@@ -78,74 +79,82 @@ def _make_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
              jc_ref, lp_ref, cp_ref, xm_o, jl_o, jc_o,
              g_scr, t_scr, yl, cl):
         dtype = m_ref.dtype
-        x = xm_ref[0]       # (nv, L)
-        msm = xm_ref[1]
-        jar_l = jl_ref[0]   # (nlim, L)
-        N, y1, y2 = jc_ref[0], jc_ref[1], jc_ref[2]  # (K, L)
         actl, Dl = lp_ref[0], lp_ref[1]
         mu, fric, actc, Dc = cp_ref[0], cp_ref[1], cp_ref[2], cp_ref[3]
 
-        # Constraint forces at the carried jar values.
-        f_l = jnp.where(jar_l < 0, -Dl * jar_l * actl, 0.0)
-        r0, r1, r2 = _cone_residual_planes(N, y1, y2, mu, fric)
-        Dact = Dc * actc
-        f0, f1, f2 = -Dact * r0, -Dact * r1, -Dact * r2
+        def one_iter(x, msm, jar_l, N, y1, y2):
+            # Constraint forces at the carried jar values.
+            f_l = jnp.where(jar_l < 0, -Dl * jar_l * actl, 0.0)
+            r0, r1, r2 = _cone_residual_planes(N, y1, y2, mu, fric)
+            Dact = Dc * actc
+            f0, f1, f2 = -Dact * r0, -Dact * r1, -Dact * r2
 
-        # Gradient g = msm - scatter(lim forces) - J^T f. Limit rows
-        # each touch ONE dof (static index): iota-masked row adds
-        # (Mosaic lowers neither scatter-add nor captured constant
-        # matrices; a where per row is cheap at nlim ~ 44).
-        rows_nv = jax.lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
-        g = msm
-        for li, (d, sg) in enumerate(zip(lim_dof, lim_sign)):
-            g = jnp.where(rows_nv == d, g - sg * f_l[li:li + 1, :], g)
-        frows = jnp.stack([f0, f1, f2], axis=1).reshape(3 * K, -1)
-        g = g - jnp.sum(j_ref[...] * frows[:, None, :], axis=0)
+            # Gradient g = msm - scatter(lim forces) - J^T f. Limit rows
+            # each touch ONE dof (static index): iota-masked row adds
+            # (Mosaic lowers neither scatter-add nor captured constant
+            # matrices; a where per row is cheap at nlim ~ 44).
+            rows_nv = jax.lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
+            g = msm
+            for li, (d, sg) in enumerate(zip(lim_dof, lim_sign)):
+                g = jnp.where(rows_nv == d, g - sg * f_l[li:li + 1, :], g)
+            frows = jnp.stack([f0, f1, f2], axis=1).reshape(3 * K, -1)
+            g = g - jnp.sum(j_ref[...] * frows[:, None, :], axis=0)
 
-        # Arrow substitution with the cached factor (VMEM-resident).
-        g_scr[...] = g[None]
-        solve_body(f_ref, g_scr, t_scr, yl, cl)
-        t = t_scr[0]  # (nv, L)
+            # Arrow substitution with the cached factor (VMEM-resident).
+            g_scr[...] = g[None]
+            solve_body(f_ref, g_scr, t_scr, yl, cl)
+            t = t_scr[0]  # (nv, L)
 
-        # Woodbury: dx = -(t - Z (LC LC^T)^-1 U^T t).
-        Ut = jnp.sum(u_ref[...] * t[:, None, :], axis=0)  # (SB3, L)
-        rsel = jax.lax.broadcasted_iota(jnp.int32, (SB3, 1), 0)
-        wv = jnp.zeros_like(Ut)
-        for kk in range(SB3):  # forward LC w = Ut (static unroll)
-            row = lc_ref[kk, :, :]  # (SB3, L)
-            acc = jnp.sum(row * wv, axis=0, keepdims=True)
-            val = (Ut[kk:kk + 1, :] - acc) / lc_ref[kk, kk, :][None]
-            wv = jnp.where(rsel == kk, val, wv)
-        wb = jnp.zeros_like(wv)
-        cr = jnp.zeros_like(wv)
-        for i2 in range(SB3):  # backward LC^T w = wv
-            kk = SB3 - 1 - i2
-            val = (wv[kk:kk + 1, :] - cr[kk:kk + 1, :]) / (
-                lc_ref[kk, kk, :][None])
-            wb = jnp.where(rsel == kk, val, wb)
-            cr = cr + lc_ref[kk, :, :] * val
-        dx = -(t - jnp.sum(z_ref[...] * wb[None, :, :], axis=1))
+            # Woodbury: dx = -(t - Z (LC LC^T)^-1 U^T t).
+            Ut = jnp.sum(u_ref[...] * t[:, None, :], axis=0)  # (SB3, L)
+            rsel = jax.lax.broadcasted_iota(jnp.int32, (SB3, 1), 0)
+            wv = jnp.zeros_like(Ut)
+            for kk in range(SB3):  # forward LC w = Ut (static unroll)
+                row = lc_ref[kk, :, :]  # (SB3, L)
+                acc = jnp.sum(row * wv, axis=0, keepdims=True)
+                val = (Ut[kk:kk + 1, :] - acc) / lc_ref[kk, kk, :][None]
+                wv = jnp.where(rsel == kk, val, wv)
+            wb = jnp.zeros_like(wv)
+            cr = jnp.zeros_like(wv)
+            for i2 in range(SB3):  # backward LC^T w = wv
+                kk = SB3 - 1 - i2
+                val = (wv[kk:kk + 1, :] - cr[kk:kk + 1, :]) / (
+                    lc_ref[kk, kk, :][None])
+                wb = jnp.where(rsel == kk, val, wb)
+                cr = cr + lc_ref[kk, :, :] * val
+            dx = -(t - jnp.sum(z_ref[...] * wb[None, :, :], axis=1))
 
-        # Line-search precomputes (M and J read once more from VMEM).
-        mdx = jnp.sum(m_ref[...] * dx[None, :, :], axis=1)  # (nv, L)
-        jv = jnp.sum(j_ref[...] * dx[None, :, :], axis=1)   # (3K, L)
-        jv3 = jv.reshape(K, 3, -1)
-        jvn, jvt1, jvt2 = jv3[:, 0, :], jv3[:, 1, :], jv3[:, 2, :]
-        jv_l = jnp.concatenate(
-            [sg * dx[d:d + 1, :] for d, sg in zip(lim_dof, lim_sign)],
-            axis=0)
-        sm0 = jnp.sum(msm * dx, axis=0, keepdims=True)
-        smm = jnp.sum(dx * mdx, axis=0, keepdims=True)
-        lim_planes = jnp.stack([jar_l, jv_l, actl, Dl])
-        con_planes = jnp.stack([N, y1, y2, jvn, jvt1, jvt2,
-                                mu, fric, actc, Dc])
-        alpha = _ls.search_planes(lim_planes, con_planes, sm0, smm,
-                                  6, ls_iters)  # (1, L)
+            # Line-search precomputes (M and J read once more from VMEM).
+            mdx = jnp.sum(m_ref[...] * dx[None, :, :], axis=1)  # (nv, L)
+            jv = jnp.sum(j_ref[...] * dx[None, :, :], axis=1)   # (3K, L)
+            jv3 = jv.reshape(K, 3, -1)
+            jvn, jvt1, jvt2 = jv3[:, 0, :], jv3[:, 1, :], jv3[:, 2, :]
+            jv_l = jnp.concatenate(
+                [sg * dx[d:d + 1, :] for d, sg in zip(lim_dof, lim_sign)],
+                axis=0)
+            sm0 = jnp.sum(msm * dx, axis=0, keepdims=True)
+            smm = jnp.sum(dx * mdx, axis=0, keepdims=True)
+            lim_planes = jnp.stack([jar_l, jv_l, actl, Dl])
+            con_planes = jnp.stack([N, y1, y2, jvn, jvt1, jvt2,
+                                    mu, fric, actc, Dc])
+            alpha = _ls.search_planes(lim_planes, con_planes, sm0, smm,
+                                      6, ls_iters)  # (1, L)
+            return (x + alpha * dx, msm + alpha * mdx,
+                    jar_l + alpha * jv_l, N + alpha * jvn,
+                    y1 + alpha * jvt1, y2 + alpha * jvt2)
 
-        xm_o[...] = jnp.stack([x + alpha * dx, msm + alpha * mdx])
-        jl_o[...] = (jar_l + alpha * jv_l)[None]
-        jc_o[...] = jnp.stack([N + alpha * jvn, y1 + alpha * jvt1,
-                               y2 + alpha * jvt2])
+        st = (xm_ref[0], xm_ref[1], jl_ref[0],
+              jc_ref[0], jc_ref[1], jc_ref[2])
+        # All n_iters reuse iterations in ONE launch: the HBM->VMEM
+        # transfer of F / M / J / Z / U / LC amortizes across the loop
+        # (each separate launch previously paid ~1.75 ms mostly moving
+        # those operands).
+        for _ in range(n_iters):
+            st = one_iter(*st)
+        x, msm, jar_l, N, y1, y2 = st
+        xm_o[...] = jnp.stack([x, msm])
+        jl_o[...] = jar_l[None]
+        jc_o[...] = jnp.stack([N, y1, y2])
 
     return body
 
@@ -153,10 +162,11 @@ def _make_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
 @functools.lru_cache(maxsize=16)
 def _fused_fn(part: _arrow.Part, K: int, SB3: int, nlim: int,
               lim_dof: tuple, lim_sign: tuple, ls_iters: int,
-              interpret: bool = False):
+              n_iters: int = 1, interpret: bool = False):
     nv = part.nv
     nl, dm, nr = len(part.ds), part.dmax, part.nr
-    body = _make_kernel(part, K, SB3, nlim, lim_dof, lim_sign, ls_iters)
+    body = _make_kernel(part, K, SB3, nlim, lim_dof, lim_sign, ls_iters,
+                        n_iters)
 
     @jax.jit
     def run(F_t, M_t, J_t, Z_t, U_t, LC_t, xm_t, jl_t, jc_t, lp_t, cp_t):
@@ -189,6 +199,15 @@ def _fused_fn(part: _arrow.Part, K: int, SB3: int, nlim: int,
         )(F_t, M_t, J_t, Z_t, U_t, LC_t, xm_t, jl_t, jc_t, lp_t, cp_t)
 
     return run
+
+
+def _ref_step_n(part, lim_dof, lim_sign, ls_iters, n_iters, F, M, conJ,
+                Z, U, LC, x, msm, jar_l, jar_c, lim_params, con_params):
+    st = (x, msm, jar_l, jar_c)
+    for _ in range(n_iters):
+        st = _ref_step(part, lim_dof, lim_sign, ls_iters, F, M, conJ, Z,
+                       U, LC, *st, lim_params, con_params)
+    return st
 
 
 def _ref_step(part, lim_dof, lim_sign, ls_iters, F, M, conJ, Z, U, LC,
@@ -231,8 +250,10 @@ def _ref_step(part, lim_dof, lim_sign, ls_iters, F, M, conJ, Z, U, LC,
 
 @functools.lru_cache(maxsize=16)
 def make_reuse_pe(part: _arrow.Part, lim_dof: tuple, lim_sign: tuple,
-                  ls_iters: int, interpret: bool = False):
-    """Per-env fused Newton reuse step; pallas-batched under vmap on TPU.
+                  ls_iters: int, n_iters: int = 1,
+                  interpret: bool = False):
+    """Per-env fused Newton reuse step (n_iters iterations in ONE
+    launch); pallas-batched under vmap on TPU.
 
     Per-env args: F (packed arrow factor), M (nv, nv), conJ (K, 3, nv),
     Z/U (nv, 3SB), LC (3SB, 3SB), x/msm (nv,), jar_l (L,), jar_c (K, 3),
@@ -244,9 +265,9 @@ def make_reuse_pe(part: _arrow.Part, lim_dof: tuple, lim_sign: tuple,
     @custom_batching.custom_vmap
     def f(F, M, conJ, Z, U, LC, x, msm, jar_l, jar_c, lim_params,
           con_params):
-        return _ref_step(part, lim_dof, lim_sign, ls_iters, F, M, conJ,
-                         Z, U, LC, x, msm, jar_l, jar_c, lim_params,
-                         con_params)
+        return _ref_step_n(part, lim_dof, lim_sign, ls_iters, n_iters,
+                           F, M, conJ, Z, U, LC, x, msm, jar_l, jar_c,
+                           lim_params, con_params)
 
     @f.def_vmap
     def _rule(axis_size, in_batched, F, M, conJ, Z, U, LC, x, msm,
@@ -256,8 +277,8 @@ def make_reuse_pe(part: _arrow.Part, lim_dof: tuple, lim_sign: tuple,
                 con_params)
         if not all(in_batched) or not (_use_pallas() or interpret):
             axes = [0 if b else None for b in in_batched]
-            out = jax.vmap(lambda *a: _ref_step(
-                part, lim_dof, lim_sign, ls_iters, *a),
+            out = jax.vmap(lambda *a: _ref_step_n(
+                part, lim_dof, lim_sign, ls_iters, n_iters, *a),
                 in_axes=axes)(*args)
             return out, (True, True, True, True)
         B = M.shape[0]
@@ -290,7 +311,7 @@ def make_reuse_pe(part: _arrow.Part, lim_dof: tuple, lim_sign: tuple,
         lp_t = tol(lim_params)
         cp_t = tol(con_params)
         run = _fused_fn(part, K, SB3, nlim, lim_dof, lim_sign, ls_iters,
-                        interpret)
+                        n_iters, interpret)
         xm_o, jl_o, jc_o = run(F_t, M_t, J_t, Z_t, U_t, LC_t, xm_t,
                                jl_t, jc_t, lp_t, cp_t)
 

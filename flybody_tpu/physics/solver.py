@@ -637,11 +637,11 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         actb = ohb @ brk
         eye_sb = jnp.eye(3 * SB, dtype=dtype)
         # Fused reuse-step kernel (gradient + arrow solve + Woodbury +
-        # line search in ONE launch, ops/newton_fused.py).
+        # line search, ALL reuse iterations of a block in ONE launch,
+        # ops/newton_fused.py).
         from flybody_tpu.ops import newton_fused as _nf
-        fused_reuse = _nf.make_reuse_pe(
-            part, tuple(int(v) for v in lim_dof_idx),
-            tuple(float(v) for v in lim_sign_st), ls_iterations)
+        _lim_dof_t = tuple(int(v) for v in lim_dof_idx)
+        _lim_sign_t = tuple(float(v) for v in lim_sign_st)
         lim_params = jnp.stack([efc.lim_active, efc.lim_D])
         con_params = jnp.stack([efc.con_mu, efc.con_frictional,
                                 efc.con_active, efc.con_D])
@@ -670,11 +670,13 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         dx = -(t - jnp.sum(Z * w[None, :], axis=-1))
         return ls_and_update(st, dx), (F, Z, LC, U)
 
-    def reuse_step_arrow(st, fac):
+    def reuse_steps_arrow(st, fac, n):
         F, Z, LC, U = fac
         x, msm, jar_l, jar_c = st
-        return fused_reuse(F, M, efc.con_J, Z, U, LC, x, msm, jar_l,
-                           jar_c, lim_params, con_params)
+        fr = _nf.make_reuse_pe(part, _lim_dof_t, _lim_sign_t,
+                               ls_iterations, n)
+        return fr(F, M, efc.con_J, Z, U, LC, x, msm, jar_l,
+                  jar_c, lim_params, con_params)
 
     def fresh_step_dense(st):
         """Newton step with fresh Hessian assembly + fused factor/solve."""
@@ -692,9 +694,14 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         return ls_and_update(st, dx)
 
     if aops is not None:
-        fresh_step, reuse_step = fresh_step_arrow, reuse_step_arrow
+        fresh_step, reuse_steps = fresh_step_arrow, reuse_steps_arrow
     else:
-        fresh_step, reuse_step = fresh_step_dense, reuse_step_dense
+        fresh_step = fresh_step_dense
+
+        def reuse_steps(st, L, n):
+            for _ in range(n):
+                st = reuse_step_dense(st, L)
+            return st
 
     st = init_state(x)
     # NOTE: a tolerance-based lax.while_loop would let warm-started envs
@@ -709,8 +716,8 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         def block(reuse_n):
             def body(i, ss):
                 ss, Lb = fresh_step(ss)
-                for _ in range(reuse_n):
-                    ss = reuse_step(ss, Lb)
+                if reuse_n:
+                    ss = reuse_steps(ss, Lb, reuse_n)
                 return ss
             return body
         nblocks, tail = divmod(iterations, p)

@@ -166,9 +166,9 @@ def test_woodbury_hessian_solve(part):
 
 
 def test_efc_compaction_overflow_and_padding():
-    """make_efc's sort-free compaction: actives land in slot order, dead
-    rows are padded to separated dummies, and overflow beyond ncon_max
-    drops the last actives (MuJoCo contact-cap semantics)."""
+    """make_efc slot selection (exact top-k by score): all penetrating
+    slots are selected, unselected rows are inactive with valid unit
+    normals, and overflow beyond ncon_max keeps the deepest slots."""
     import mujoco  # noqa: F401  (model build path)
     from flybody_tpu.physics import collision as col
     from flybody_tpu.physics import kinematics as kin
@@ -199,14 +199,17 @@ def test_efc_compaction_overflow_and_padding():
 
     efc = solver.make_efc(fly, data, con, ncon_max=8)
     sel = np.asarray(efc.con_sel)
-    act = np.asarray(efc.con_active)
-    assert np.array_equal(sel[:7], active_slots)
-    assert act[:7].all() and not act[7:].any()
-    # Dead rows: separated dummy with a unit normal.
-    assert float(efc.con_pos[7]) > 1e9
-    np.testing.assert_allclose(np.asarray(efc.con_normal)[7], [0, 0, 1])
+    act = np.asarray(efc.con_active).astype(bool)
+    # All 7 penetrating slots selected (order is by score, not slot id).
+    assert set(active_slots.tolist()) <= set(sel.tolist())
+    assert act.sum() == 7
+    assert set(sel[act].tolist()) == set(active_slots.tolist())
+    # Inactive rows still carry valid unit normals (frame construction).
+    norms = np.linalg.norm(np.asarray(efc.con_normal), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
 
-    # Overflow: cap 4 keeps the FIRST 4 actives in slot order.
+    # Overflow: cap 4 keeps 4 of the penetrating slots, all active.
     efc4 = solver.make_efc(fly, data, con, ncon_max=4)
-    assert np.array_equal(np.asarray(efc4.con_sel), active_slots[:4])
+    sel4 = np.asarray(efc4.con_sel)
+    assert set(sel4.tolist()) <= set(active_slots.tolist())
     assert np.asarray(efc4.con_active).all()

@@ -390,3 +390,14 @@ def test_fused_newton_reuse_step_interpret():
     for nm, o, r in zip(names, out, ref):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    rtol=0, atol=5e-4, err_msg=nm)
+
+    # Multi-iteration variant: n_iters=3 in one launch == 3 chained
+    # reference steps.
+    ref3 = jax.vmap(lambda *a: newton_fused._ref_step_n(
+        part, lim_dof, lim_sign, 30, 3, *a))(*args)
+    fused3 = newton_fused.make_reuse_pe(part, lim_dof, lim_sign, 30,
+                                        n_iters=3, interpret=True)
+    out3 = jax.vmap(fused3)(*args)
+    for nm, o, r in zip(names, out3, ref3):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=0, atol=2e-3, err_msg=nm)
