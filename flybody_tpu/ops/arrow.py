@@ -173,6 +173,139 @@ def _pack(part: Part, A):
     return D, B, R
 
 
+@functools.lru_cache(maxsize=8)
+def _pad_eye_np(part: Part):
+    """(nl+1, dm+nr, dm) with 1.0 on padded limb-diagonal positions."""
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    pe = np.zeros((nl + 1, dm + nr, dm))
+    for i, d in enumerate(part.ds):
+        for j in range(d, dm):
+            pe[i, j, j] = 1.0
+    return pe
+
+
+@functools.lru_cache(maxsize=8)
+def _limb_dof_tables(part: Part):
+    """Static gather/scatter tables for (nl, dm) <-> (nv,) limb packing:
+    idx (nl, dm) dof index (0 for padding), w (nl, dm) validity mask,
+    scat (nv, nl*dm) 0/1 scatter matrix (rows = dofs, cols = padded limb
+    slots)."""
+    nl, dm = len(part.ds), part.dmax
+    idx = np.zeros((nl, dm), np.int64)
+    w = np.zeros((nl, dm))
+    scat = np.zeros((part.nv, nl * dm))
+    for i, (lo, d) in enumerate(zip(part.los, part.ds)):
+        idx[i, :d] = np.arange(lo, lo + d)
+        w[i, :d] = 1.0
+        for j in range(d):
+            scat[lo + j, i * dm + j] = 1.0
+    return idx, w, scat
+
+
+def pack_sym_ref(part: Part, A, pad_identity: bool = True):
+    """Dense symmetric (nv, nv) with the tree's arrow sparsity ->
+    packed (nl + 1, dm + nr, dm):
+        Mp[i, :d, :d]        = D_i   (limb diagonal block)
+        Mp[i, dm:dm+nr, :d]  = B_i   (root-limb border rows)
+        Mp[nl, :nr, :nr]     = R     (root block)
+    Padded limb-diagonal entries are 1 when pad_identity (so the packed
+    factor kernels can skip masking), 0 otherwise (so packs ADD)."""
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    dtype = A.dtype
+    Mp = jnp.zeros((nl + 1, dm + nr, dm), dtype)
+    for i, (lo, d) in enumerate(zip(part.los, part.ds)):
+        Mp = Mp.at[i, :d, :d].set(A[lo:lo + d, lo:lo + d])
+        if nr:
+            Mp = Mp.at[i, dm:dm + nr, :d].set(A[0:nr, lo:lo + d])
+    if nr:
+        Mp = Mp.at[nl, :nr, :nr].set(A[0:nr, 0:nr])
+    if pad_identity:
+        Mp = Mp + jnp.asarray(_pad_eye_np(part), dtype)
+    return Mp
+
+
+def unpack_sym_ref(part: Part, Mp):
+    """Packed symmetric (nl + 1, dm + nr, dm) -> dense (nv, nv)
+    (padding-identity entries dropped)."""
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    A = jnp.zeros((part.nv, part.nv), Mp.dtype)
+    for i, (lo, d) in enumerate(zip(part.los, part.ds)):
+        A = A.at[lo:lo + d, lo:lo + d].set(Mp[i, :d, :d])
+        if nr:
+            A = A.at[0:nr, lo:lo + d].set(Mp[i, dm:dm + nr, :d])
+            A = A.at[lo:lo + d, 0:nr].set(Mp[i, dm:dm + nr, :d].T)
+    if nr:
+        A = A.at[0:nr, 0:nr].set(Mp[nl, :nr, :nr])
+    return A
+
+
+def add_diag_packed(part: Part, Mp, diag):
+    """Packed M plus diag(diag) (diag: (nv,)); padding untouched."""
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    idx, w, _ = _limb_dof_tables(part)
+    diag = jnp.asarray(diag)
+    ext = diag[idx] * jnp.asarray(w, diag.dtype)  # (nl, dm)
+    eye_dm = jnp.eye(dm, dtype=Mp.dtype)
+    Mp = Mp.at[:nl, :dm, :].add(eye_dm[None] * ext[:, None, :])
+    if nr:
+        Mp = Mp.at[nl, :nr, :nr].add(jnp.diag(diag[:nr]))
+    return Mp
+
+
+def matvec_packed(part: Part, Mp, x):
+    """y = M x for packed symmetric M. x: (nv,) or (nv, m). Pure
+    mul+sum / constant-matrix contractions (no batched tiny matmuls), so
+    it vmaps efficiently."""
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    vec = x.ndim == 1
+    xm = x[:, None] if vec else x
+    m = xm.shape[1]
+    idx, w, scat = _limb_dof_tables(part)
+    xlp = xm[idx] * jnp.asarray(w, x.dtype)[:, :, None]
+    Dall = Mp[:nl, :dm, :]          # (nl, dm, dm)
+    Ball = Mp[:nl, dm:dm + nr, :]   # (nl, nr, dm)
+    R = Mp[nl, :nr, :nr]
+    xr = xm[0:nr]                   # (nr, m)
+    # Limb rows: D_i x_i + B_i^T x_r. The identity padding of D only
+    # touches padded rows, which the scatter matrix drops.
+    ylp = jnp.sum(Dall[:, :, :, None] * xlp[:, None, :, :], axis=2)
+    if nr:
+        ylp = ylp + jnp.sum(Ball[:, :, :, None] * xr[None, :, None, :],
+                            axis=1)
+    out = jnp.asarray(scat, x.dtype) @ ylp.reshape(nl * dm, m)
+    if nr:
+        y_r = (jnp.sum(Ball[:, :, :, None] * xlp[:, None, :, :],
+                       axis=(0, 2))
+               + jnp.sum(R[:, :, None] * xr[None, :, :], axis=1))
+        out = out.at[0:nr].add(y_r)
+    return out[:, 0] if vec else out
+
+
+def factor_ref_p(part: Part, Mp):
+    """Arrow Cholesky from a PACKED symmetric matrix (identity-padded)
+    -> packed factor (nl + 1, dm + nr, dm)."""
+    import jax.scipy.linalg as jsl
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    D = Mp[:nl, :dm, :]
+    B = Mp[:nl, dm:dm + nr, :]
+    R = Mp[nl, :nr, :nr]
+    L = jnp.linalg.cholesky(D)
+    if nr:
+        LB = jax.vmap(lambda l, b: jsl.solve_triangular(
+            l, b.T, lower=True).T)(L, B)
+        S = R - jnp.einsum('iak,ibk->ab', LB, LB)
+        LR = jnp.linalg.cholesky(S)
+    else:
+        LB = B
+        LR = jnp.zeros((0, 0), Mp.dtype)
+    F = jnp.zeros((nl + 1, dm + nr, dm), Mp.dtype)
+    F = F.at[:nl, :dm, :].set(L)
+    if nr:
+        F = F.at[:nl, dm:, :].set(LB)
+        F = F.at[nl, :nr, :nr].set(LR)
+    return F
+
+
 def factor_ref(part: Part, A):
     """Arrow Cholesky of dense (nv, nv) -> packed factor
     (nl + 1, dm + nr, dm)."""
@@ -235,8 +368,10 @@ def solve_ref(part: Part, F, b):
 # Pallas kernels (lane-batched; batch on the last dim).
 
 
-def _make_factor_body(part: Part):
-    """Kernel body: factor dense a_ref (n, n, LANES) into packed f_ref."""
+def _make_factor_body(part: Part, packed: bool = False):
+    """Kernel body: factor a_ref into packed f_ref. a_ref is dense
+    (n, n, LANES), or the packed symmetric (nl+1, dm+nr, dm, LANES)
+    layout of pack_sym_ref when `packed` (3.3x less HBM per env)."""
     nl, dm, nr = len(part.ds), part.dmax, part.nr
     los, ds = part.los, part.ds
 
@@ -245,16 +380,22 @@ def _make_factor_body(part: Part):
         rows4 = jax.lax.broadcasted_iota(jnp.int32, (1, dm, 1, 1), 1)
         cols4 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, dm, 1), 2)
         eye4 = (rows4 == cols4).astype(dtype)  # (1, dm, dm, 1)
-        # Identity-init: padded rows/cols (j >= d_i) factor to identity
-        # columns and never perturb the live region.
-        dw[...] = jnp.broadcast_to(eye4, dw.shape)
-        if nr:
-            bw[...] = jnp.zeros_like(bw[...])
         f_ref[...] = jnp.zeros_like(f_ref[...])
-        for i, (lo, d) in enumerate(zip(los, ds)):
-            dw[i, :d, :d, :] = a_ref[lo:lo + d, lo:lo + d, :]
+        if packed:
+            # Packed input is already identity-padded per pack_sym_ref.
+            dw[...] = a_ref[0:nl, 0:dm, :, :]
             if nr:
-                bw[i, :, :d, :] = a_ref[0:nr, lo:lo + d, :]
+                bw[...] = a_ref[0:nl, dm:dm + nr, :, :]
+        else:
+            # Identity-init: padded rows/cols (j >= d_i) factor to
+            # identity columns and never perturb the live region.
+            dw[...] = jnp.broadcast_to(eye4, dw.shape)
+            if nr:
+                bw[...] = jnp.zeros_like(bw[...])
+            for i, (lo, d) in enumerate(zip(los, ds)):
+                dw[i, :d, :d, :] = a_ref[lo:lo + d, lo:lo + d, :]
+                if nr:
+                    bw[i, :, :d, :] = a_ref[0:nr, lo:lo + d, :]
 
         for k in range(dm):  # static unroll: direct-offset slices
             colv = dw[:, :, k:k + 1, :]  # (nl, dm, 1, LANES)
@@ -273,7 +414,8 @@ def _make_factor_body(part: Part):
         if nr:
             # Schur complement R' = R - sum_i LB_i LB_i^T, then its
             # dense 6x6 Cholesky (nr sequential steps).
-            rw = a_ref[0:nr, 0:nr, :]  # (nr, nr, LANES) value
+            rw = (a_ref[nl, 0:nr, 0:nr, :] if packed
+                  else a_ref[0:nr, 0:nr, :])  # (nr, nr, LANES) value
             LBall = f_ref[0:nl, dm:dm + nr, :, :]  # (nl, nr, dm, LANES)
             for i in range(nl):
                 lb = LBall[i]  # (nr, dm, LANES)
@@ -367,14 +509,25 @@ def _make_solve_body(part: Part, m: int):
     return body
 
 
-@functools.lru_cache(maxsize=16)
-def _factor_fn(part: Part, interpret: bool = False):
+def _a_spec(part: Part, packed: bool):
     nl, dm, nr = len(part.ds), part.dmax, part.nr
     n = part.nv
-    body = _make_factor_body(part)
+    if packed:
+        return pl.BlockSpec((nl + 1, dm + nr, dm, LANES),
+                            lambda i: (0, 0, 0, i),
+                            memory_space=pltpu.VMEM)
+    return pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.lru_cache(maxsize=16)
+def _factor_fn(part: Part, interpret: bool = False,
+               packed: bool = False):
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    body = _make_factor_body(part, packed)
 
     @jax.jit
-    def run(A_t):  # (n, n, B)
+    def run(A_t):  # (n, n, B) or packed (nl+1, dm+nr, dm, B)
         B = A_t.shape[-1]
         grid = (B // LANES,)
         return pl.pallas_call(
@@ -382,8 +535,7 @@ def _factor_fn(part: Part, interpret: bool = False):
             out_shape=jax.ShapeDtypeStruct((nl + 1, dm + nr, dm, B),
                                            A_t.dtype),
             grid=grid,
-            in_specs=[pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i),
-                                   memory_space=pltpu.VMEM)],
+            in_specs=[_a_spec(part, packed)],
             out_specs=pl.BlockSpec((nl + 1, dm + nr, dm, LANES),
                                    lambda i: (0, 0, 0, i),
                                    memory_space=pltpu.VMEM),
@@ -430,10 +582,11 @@ def _solve_fn(part: Part, m: int, interpret: bool = False):
 
 
 @functools.lru_cache(maxsize=32)
-def _factor_solve_fn(part: Part, m: int, interpret: bool = False):
+def _factor_solve_fn(part: Part, m: int, interpret: bool = False,
+                     packed: bool = False):
     nl, dm, nr = len(part.ds), part.dmax, part.nr
     n = part.nv
-    fbody = _make_factor_body(part)
+    fbody = _make_factor_body(part, packed)
     sbody = _make_solve_body(part, m)
 
     def body(a_ref, b_ref, f_ref, x_ref, dw, bw, yl, cl):
@@ -450,8 +603,7 @@ def _factor_solve_fn(part: Part, m: int, interpret: bool = False):
                                             A_t.dtype),
                        jax.ShapeDtypeStruct((m, n, B), b_t.dtype)),
             grid=grid,
-            in_specs=[pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i),
-                                   memory_space=pltpu.VMEM),
+            in_specs=[_a_spec(part, packed),
                       pl.BlockSpec((m, n, LANES), lambda i: (0, 0, i),
                                    memory_space=pltpu.VMEM)],
             out_specs=(pl.BlockSpec((nl + 1, dm + nr, dm, LANES),
@@ -483,14 +635,28 @@ def _pad_lanes(x, pad, fill):
         fill, x.shape[:-1] + (pad,))], axis=-1)
 
 
+def _identity_packed(part: Part, dtype):
+    """Packed symmetric identity (fill for dead batch lanes)."""
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    Mp = np.zeros((nl + 1, dm + nr, dm))
+    for j in range(dm):
+        Mp[:nl, j, j] = 1.0
+    for r in range(nr):
+        Mp[nl, r, r] = 1.0
+    return jnp.asarray(Mp, dtype)[..., None]
+
+
 def factor_batched(part: Part, A, interpret: bool = False):
-    """(B, n, n) -> packed factors (B, nl+1, dm+nr, dm) via pallas."""
-    B, n, _ = A.shape
+    """Dense (B, n, n) or packed (B, nl+1, dm+nr, dm) -> packed factors
+    (B, nl+1, dm+nr, dm) via pallas."""
+    packed = A.ndim == 4
+    B = A.shape[0]
     pad = (-B) % LANES
     A_t = jnp.moveaxis(A, 0, -1)
-    eye = jnp.eye(n, dtype=A.dtype)[:, :, None]
-    A_t = _pad_lanes(A_t, pad, eye)
-    F_t = _factor_fn(part, interpret)(A_t)
+    fill = (_identity_packed(part, A.dtype) if packed
+            else jnp.eye(part.nv, dtype=A.dtype)[:, :, None])
+    A_t = _pad_lanes(A_t, pad, fill)
+    F_t = _factor_fn(part, interpret, packed)(A_t)
     return jnp.moveaxis(F_t[..., :B], -1, 0)
 
 
@@ -519,17 +685,20 @@ def solve_batched(part: Part, F, b, interpret: bool = False):
 
 
 def factor_solve_batched(part: Part, A, b, interpret: bool = False):
-    """Fused factor+solve: A (B, n, n), b (B, n) or (B, n, m)."""
+    """Fused factor+solve: A dense (B, n, n) or packed
+    (B, nl+1, dm+nr, dm); b (B, n) or (B, n, m)."""
+    packed = A.ndim == 4
     vec = b.ndim == 2
     bm = b[:, :, None] if vec else b
     B, n, m = bm.shape
     pad = (-B) % LANES
     A_t = jnp.moveaxis(A, 0, -1)
-    eye = jnp.eye(n, dtype=A.dtype)[:, :, None]
-    A_t = _pad_lanes(A_t, pad, eye)
+    fill = (_identity_packed(part, A.dtype) if packed
+            else jnp.eye(n, dtype=A.dtype)[:, :, None])
+    A_t = _pad_lanes(A_t, pad, fill)
     b_t = jnp.transpose(bm, (2, 1, 0))
     b_t = _pad_lanes(b_t, pad, jnp.zeros((), b.dtype))
-    F_t, x_t = _factor_solve_fn(part, m, interpret)(A_t, b_t)
+    F_t, x_t = _factor_solve_fn(part, m, interpret, packed)(A_t, b_t)
     F = jnp.moveaxis(F_t[..., :B], -1, 0)
     x = jnp.transpose(x_t[..., :B], (2, 1, 0))
     return F, (x[:, :, 0] if vec else x)
@@ -543,18 +712,23 @@ def factor_solve_batched(part: Part, A, b, interpret: bool = False):
 def ops_for(part: Part):
     """Per-partition per-env ops that pallas-batch under vmap on TPU."""
 
+    def _fref(part, A):
+        """Dense (nv, nv) or packed (nl+1, dm+nr, dm) -> factor."""
+        return (factor_ref_p(part, A) if A.ndim == 3
+                else factor_ref(part, A))
+
     @custom_batching.custom_vmap
     def chol_pe(A):
-        return factor_ref(part, A)
+        return _fref(part, A)
 
     @chol_pe.def_vmap
     def _(axis_size, in_batched, A):
         del axis_size
         if not in_batched[0]:  # pragma: no cover
-            return factor_ref(part, A), False
+            return _fref(part, A), False
         if _use_pallas():
             return factor_batched(part, A), True
-        return jax.vmap(lambda a: factor_ref(part, a))(A), True
+        return jax.vmap(lambda a: _fref(part, a))(A), True
 
     @custom_batching.custom_vmap
     def solve_pe(F, b):
@@ -574,7 +748,7 @@ def ops_for(part: Part):
 
     @custom_batching.custom_vmap
     def chol_solve_pe(A, b):
-        F = factor_ref(part, A)
+        F = _fref(part, A)
         return F, solve_ref(part, F, b)
 
     @chol_solve_pe.def_vmap
@@ -582,7 +756,7 @@ def ops_for(part: Part):
         del axis_size
         if not (in_batched[0] and in_batched[1]):  # pragma: no cover
             out = jax.vmap(
-                lambda a, r: ((F := factor_ref(part, a)),
+                lambda a, r: ((F := _fref(part, a)),
                               solve_ref(part, F, r)),
                 in_axes=(0 if in_batched[0] else None,
                          0 if in_batched[1] else None))(A, b)
@@ -590,7 +764,7 @@ def ops_for(part: Part):
         if _use_pallas():
             return factor_solve_batched(part, A, b), (True, True)
         out = jax.vmap(
-            lambda a, r: ((F := factor_ref(part, a)),
+            lambda a, r: ((F := _fref(part, a)),
                           solve_ref(part, F, r)))(A, b)
         return out, (True, True)
 

@@ -70,17 +70,41 @@ def _cone_residual_planes(N, y1, y2, mu, fric):
 
 def _make_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
                  lim_dof: tuple, lim_sign: tuple, ls_iters: int,
-                 n_iters: int = 1):
+                 n_iters: int = 1, packed_m: bool = False):
     nv = part.nv
     nl, dm, nr = len(part.ds), part.dmax, part.nr
+    los, ds = part.los, part.ds
     solve_body = _arrow._make_solve_body(part, 1)
 
     def body(f_ref, m_ref, j_ref, z_ref, u_ref, lc_ref, xm_ref, jl_ref,
              jc_ref, lp_ref, cp_ref, xm_o, jl_o, jc_o,
-             g_scr, t_scr, yl, cl):
+             g_scr, t_scr, yl, cl, m_scr):
         dtype = m_ref.dtype
         actl, Dl = lp_ref[0], lp_ref[1]
         mu, fric, actc, Dc = cp_ref[0], cp_ref[1], cp_ref[2], cp_ref[3]
+
+        def mdx_packed(dx):
+            """M dx with m_ref in the packed arrow layout
+            (nl+1, dm+nr, dm, LANES): per-limb block products + root
+            border, assembled in the m_scr scratch."""
+            xr = dx[0:nr, :]
+            yr = jnp.sum(m_ref[nl, 0:nr, 0:nr, :] * xr[None, :, :],
+                         axis=1)
+            for li, (lo, d) in enumerate(zip(los, ds)):
+                xl = dx[lo:lo + d, :]
+                Dblk = m_ref[li, 0:dm, 0:d, :]        # (dm, d, L)
+                ylv = jnp.sum(Dblk * xl[None, :, :], axis=1)  # (dm, L)
+                Bblk = m_ref[li, dm:dm + nr, 0:d, :]  # (nr, d, L)
+                ylb = jnp.sum(Bblk * xr[:, None, :], axis=0)  # (d, L)
+                yr = yr + jnp.sum(Bblk * xl[None, :, :], axis=1)
+                m_scr[0, lo:lo + d, :] = ylv[0:d, :] + ylb
+            m_scr[0, 0:nr, :] = yr
+            return m_scr[0]
+
+        def mdx_dense(dx):
+            return jnp.sum(m_ref[...] * dx[None, :, :], axis=1)
+
+        mdx_fn = mdx_packed if packed_m else mdx_dense
 
         def one_iter(x, msm, jar_l, N, y1, y2):
             # Constraint forces at the carried jar values.
@@ -125,7 +149,7 @@ def _make_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
             dx = -(t - jnp.sum(z_ref[...] * wb[None, :, :], axis=1))
 
             # Line-search precomputes (M and J read once more from VMEM).
-            mdx = jnp.sum(m_ref[...] * dx[None, :, :], axis=1)  # (nv, L)
+            mdx = mdx_fn(dx)  # (nv, L)
             jv = jnp.sum(j_ref[...] * dx[None, :, :], axis=1)   # (3K, L)
             jv3 = jv.reshape(K, 3, -1)
             jvn, jvt1, jvt2 = jv3[:, 0, :], jv3[:, 1, :], jv3[:, 2, :]
@@ -162,11 +186,12 @@ def _make_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
 @functools.lru_cache(maxsize=16)
 def _fused_fn(part: _arrow.Part, K: int, SB3: int, nlim: int,
               lim_dof: tuple, lim_sign: tuple, ls_iters: int,
-              n_iters: int = 1, interpret: bool = False):
+              n_iters: int = 1, packed_m: bool = False,
+              interpret: bool = False):
     nv = part.nv
     nl, dm, nr = len(part.ds), part.dmax, part.nr
     body = _make_kernel(part, K, SB3, nlim, lim_dof, lim_sign, ls_iters,
-                        n_iters)
+                        n_iters, packed_m)
 
     @jax.jit
     def run(F_t, M_t, J_t, Z_t, U_t, LC_t, xm_t, jl_t, jc_t, lp_t, cp_t):
@@ -178,13 +203,15 @@ def _fused_fn(part: _arrow.Part, K: int, SB3: int, nlim: int,
                                 lambda i: (0,) * len(shape) + (i,),
                                 memory_space=pltpu.VMEM)
 
+        m_spec = (spec(nl + 1, dm + nr, dm) if packed_m
+                  else spec(nv, nv))
         return pl.pallas_call(
             body,
             out_shape=(jax.ShapeDtypeStruct((2, nv, B), M_t.dtype),
                        jax.ShapeDtypeStruct((1, nlim, B), M_t.dtype),
                        jax.ShapeDtypeStruct((3, K, B), M_t.dtype)),
             grid=grid,
-            in_specs=[spec(nl + 1, dm + nr, dm), spec(nv, nv),
+            in_specs=[spec(nl + 1, dm + nr, dm), m_spec,
                       spec(3 * K, nv), spec(nv, SB3), spec(nv, SB3),
                       spec(SB3, SB3), spec(2, nv), spec(1, nlim),
                       spec(3, K), spec(2, nlim), spec(4, K)],
@@ -192,7 +219,8 @@ def _fused_fn(part: _arrow.Part, K: int, SB3: int, nlim: int,
             scratch_shapes=[pltpu.VMEM((1, nv, LANES), jnp.float32),
                             pltpu.VMEM((1, nv, LANES), jnp.float32),
                             pltpu.VMEM((nl, 1, dm, LANES), jnp.float32),
-                            pltpu.VMEM((nl, 1, dm, LANES), jnp.float32)],
+                            pltpu.VMEM((nl, 1, dm, LANES), jnp.float32),
+                            pltpu.VMEM((1, nv, LANES), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
@@ -234,7 +262,8 @@ def _ref_step(part, lim_dof, lim_sign, ls_iters, F, M, conJ, Z, U, LC,
     w = jsl.cho_solve((LC, True), U.T @ t)
     dx = -(t - Z @ w)
 
-    mdx = jnp.sum(M * dx[None, :], axis=-1)
+    mdx = (_arrow.matvec_packed(part, M, dx) if M.ndim == 3
+           else jnp.sum(M * dx[None, :], axis=-1))
     jv_c = jnp.sum(conJ * dx[None, None, :], axis=-1)  # (K, 3)
     jv_l = dx[dof] * sign
     sm0 = jnp.dot(msm, dx)
@@ -311,7 +340,7 @@ def make_reuse_pe(part: _arrow.Part, lim_dof: tuple, lim_sign: tuple,
         lp_t = tol(lim_params)
         cp_t = tol(con_params)
         run = _fused_fn(part, K, SB3, nlim, lim_dof, lim_sign, ls_iters,
-                        n_iters, interpret)
+                        n_iters, M.ndim == 4, interpret)
         xm_o, jl_o, jc_o = run(F_t, M_t, J_t, Z_t, U_t, LC_t, xm_t,
                                jl_t, jc_t, lp_t, cp_t)
 

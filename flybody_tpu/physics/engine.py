@@ -106,8 +106,13 @@ def fwd(model: FlyModel, data: Data,
         qfrc_adh = adh_mom.T @ adh_force
         data = data.replace(qfrc_actuator=data.qfrc_actuator + qfrc_adh)
 
-    # Remaining smooth forces.
-    data = _sm.crb(model, data)
+    # Remaining smooth forces. With the block-arrow backbone the mass
+    # matrix stays in packed form end-to-end (crb -> factor -> Newton
+    # M-products -> euler); dense (nv, nv) M is never materialized.
+    if _sm.arrow_ops(meta) is not None:
+        data = _sm.crb_packed(model, data)
+    else:
+        data = _sm.crb(model, data)
     data = _sm.rne(model, data)
     data = _sm.passive(model, data)
     data = _fluid.fluid(model, data)

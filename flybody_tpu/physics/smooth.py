@@ -101,6 +101,74 @@ def crb(model: FlyModel, data: Data) -> Data:
     return data.replace(qM=M)
 
 
+@functools.lru_cache(maxsize=8)
+def _crb_packed_tables(meta: _s.Meta):
+    from flybody_tpu.ops import arrow as _ar
+    part = _ar.build_partition(meta)
+    tb = _crb_tables(meta)
+    anc = np.asarray(tb['anc_low'])
+    idx, w, _ = _ar._limb_dof_tables(part)
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    ancp = np.zeros((nl, dm, dm))
+    for i, (lo, d) in enumerate(zip(part.los, part.ds)):
+        ancp[i, :d, :d] = anc[lo:lo + d, lo:lo + d]
+    return dict(part=part, idx=idx, w=w, ancp=ancp,
+                anc_root=anc[:nr, :nr])
+
+
+def crb_packed(model: FlyModel, data: Data) -> Data:
+    """Mass matrix in block-arrow PACKED form (ops/arrow.py
+    pack_sym_ref layout) — the dense (nv, nv) M is never materialized.
+
+    Same composite-rigid-body math as crb(), but only the tree-sparse
+    blocks are formed: per-limb diagonal blocks D_l, the root border
+    B_l, and the root block R (~14 KB/env packed vs 46.7 KB dense at
+    nv=108 — M is the hottest repeatedly-read operand in the Newton
+    solve)."""
+    dtype = data.qpos.dtype
+    meta = model.meta
+    tb = _crb_tables(meta)
+    nb = meta.nbody
+    sub = jnp.asarray(tb['subtree_mask'], dtype)
+    crb_acc = (sub @ data.cinert.reshape(nb, 36)).reshape(nb, 6, 6)
+    Ic = crb_acc[tb['dof_body']]  # (nv, 6, 6), static gather
+    buf = jnp.sum(Ic * data.cdof[:, None, :], axis=-1)  # (nv, 6)
+
+    pt = _crb_packed_tables(meta)
+    part = pt['part']
+    from flybody_tpu.ops import arrow as _ar
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    idx = pt['idx']  # numpy: static gathers
+    w = jnp.asarray(pt['w'], dtype)
+    arm = jnp.asarray(model.dof_armature).astype(dtype)
+    bufp = buf[idx] * w[:, :, None]          # (nl, dm, 6)
+    cdofp = data.cdof[idx] * w[:, :, None]   # (nl, dm, 6)
+    # P[l, i, j] = buf_i . cdof_j within limb l (mul+sum, no batched
+    # tiny matmuls).
+    P = jnp.sum(bufp[:, :, None, :] * cdofp[:, None, :, :], axis=-1)
+    ML = jnp.asarray(pt['ancp'], dtype) * P
+    eye_dm = jnp.eye(dm, dtype=dtype)
+    D = (ML + jnp.swapaxes(ML, 1, 2)
+         - eye_dm[None] * jnp.diagonal(ML, axis1=1, axis2=2)[:, None, :]
+         + eye_dm[None] * (arm[idx] * w)[:, None, :])
+    # Border rows: B_l[r, j] = buf_j . cdof_r (root is an ancestor of
+    # every limb dof).
+    Bl = jnp.sum(bufp[:, :, None, :]
+                 * data.cdof[None, None, :nr, :], axis=-1)  # (nl, dm, nr)
+    Bl = jnp.swapaxes(Bl, 1, 2)  # (nl, nr, dm)
+    # Root block.
+    Pr = jnp.sum(buf[:nr, None, :] * data.cdof[None, :nr, :], axis=-1)
+    MLr = jnp.asarray(pt['anc_root'], dtype) * Pr
+    R = (MLr + MLr.T - jnp.diag(jnp.diagonal(MLr))
+         + jnp.diag(arm[:nr]))
+    limb_rows = jnp.concatenate([D, Bl], axis=1)  # (nl, dm+nr, dm)
+    root_row = (jnp.zeros((1, dm + nr, dm), dtype)
+                .at[0, :nr, :nr].set(R))
+    Mp = jnp.concatenate([limb_rows, root_row], axis=0)
+    Mp = Mp + jnp.asarray(_ar._pad_eye_np(part), dtype)
+    return data.replace(qM=Mp)
+
+
 def arrow_ops(meta: _s.Meta):
     """Block-arrow factor/solve ops for this tree, or None (dense path).
 
@@ -124,9 +192,15 @@ def factor_m(model: FlyModel, data: Data,
     is carried in qLD's rank: (nv, nv) dense vs (nl+1, dm+nr, dm)
     packed arrow."""
     M = data.qM
+    aops = arrow_ops(model.meta)
+    if M.ndim == 3:  # packed arrow M (crb_packed)
+        from flybody_tpu.ops import arrow as _ar
+        part = _ar.build_partition(model.meta)
+        if extra_diag is not None:
+            M = _ar.add_diag_packed(part, M, extra_diag)
+        return data.replace(qLD=aops.chol_pe(M))
     if extra_diag is not None:
         M = M + jnp.diag(extra_diag)
-    aops = arrow_ops(model.meta)
     if aops is not None:
         return data.replace(qLD=aops.chol_pe(M))
     from flybody_tpu.ops import cholesky as _pchol
@@ -443,12 +517,19 @@ def euler(model: FlyModel, data: Data) -> Data:
                                if data.qfrc_constraint is not None
                                else jnp.zeros_like(data.qfrc_smooth))
     # Fused factor+solve of the damped system (one VMEM pass).
-    Md = data.qM + jnp.diag(dt * model.dof_damping.astype(qfrc.dtype))
+    damp = dt * model.dof_damping.astype(qfrc.dtype)
     aops = arrow_ops(model.meta)
-    if aops is not None:
+    if data.qM.ndim == 3:  # packed arrow M
+        from flybody_tpu.ops import arrow as _ar
+        part = _ar.build_partition(model.meta)
+        Md = _ar.add_diag_packed(part, data.qM, damp)
+        qLD, qacc = aops.chol_solve_pe(Md, qfrc)
+    elif aops is not None:
+        Md = data.qM + jnp.diag(damp)
         qLD, qacc = aops.chol_solve_pe(Md, qfrc)
     else:
         from flybody_tpu.ops import cholesky as _pchol
+        Md = data.qM + jnp.diag(damp)
         qLD, qacc = _pchol.chol_solve_pe(Md, qfrc)
     data = data.replace(qLD=qLD)
     act = _advance_act(model, data, dt)

@@ -466,10 +466,11 @@ def _chol3_psd(W):
                       jnp.stack([c, e, f], -1)], -2)
 
 
-def _primal_cost(efc: EfcRows, M, a_free, x):
-    """Primal objective 0.5(x-a_free)^T M (x-a_free) + s(Jx - aref)."""
+def _primal_cost(efc: EfcRows, mv, a_free, x):
+    """Primal objective 0.5(x-a_free)^T M (x-a_free) + s(Jx - aref).
+    `mv`: matvec closure (dense or packed-arrow M)."""
     dx = x - a_free
-    cost = 0.5 * jnp.dot(dx, _mv(M, dx))
+    cost = 0.5 * jnp.dot(dx, mv(dx))
     jar_l = x[efc.lim_dof] * jnp.asarray(efc.lim_sign, x.dtype) - efc.lim_aref
     act_l = efc.lim_active * (jar_l < 0)
     cost = cost + 0.5 * jnp.sum(efc.lim_D * act_l * jar_l ** 2)
@@ -506,6 +507,7 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
     dtype = data.qpos.dtype
     nv = model.meta.nv
     M = data.qM
+    packed_m = M.ndim == 3  # block-arrow packed M (smooth.crb_packed)
 
     lim_sign = jnp.asarray(efc.lim_sign, dtype)
 
@@ -526,6 +528,13 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
     aops = _arrow.ops_for(part) if part is not None else None
     hess_active = (efc.con_active * (1.0 - efc.con_break)
                    if aops is not None else efc.con_active)
+
+    if packed_m:
+        def mv(x):
+            return _arrow.matvec_packed(part, M, x)
+    else:
+        def mv(x):
+            return _mv(M, x)
 
     # --- Incremental Newton state. Along a line step x + alpha*dx, the
     # smooth gradient piece msm = M(x - a_free) and the constraint jar
@@ -553,7 +562,7 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         return g
 
     def init_state(x):
-        msm = _mv(M, x - a_free)
+        msm = mv(x - a_free)
         jar_l = x[efc.lim_dof] * lim_sign - efc.lim_aref
         jar_c = jnp.sum(efc.con_J * x[None, None, :], axis=-1) - efc.con_aref
         return (x, msm, jar_l, jar_c)
@@ -581,6 +590,13 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
                                        preferred_element_type=jnp.float32)
         else:
             JTJH = jax.lax.dot_general(J2, JHr, dn)
+        if packed_m:
+            # Pack the (arrow-sparse, hess_active excludes cross-limb
+            # rows) JTJH and add to the packed M -- dense H is never
+            # materialized. The fresh factor's 1e-12 jitter rides the
+            # same diagonal add.
+            Hp = M + _arrow.pack_sym_ref(part, JTJH, pad_identity=False)
+            return _arrow.add_diag_packed(part, Hp, hd_dof + 1e-12)
         H = M + JTJH
         H = H + jnp.diag(hd_dof)
         return H
@@ -597,7 +613,7 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         # pallas kernel on TPU (ops/linesearch.py) — in XLA it is ~20
         # tiny kernel launches per Newton iteration.
         x, msm, jar_l, jar_c = state
-        mdx = _mv(M, dx)
+        mdx = mv(dx)
         jv_l = dx[efc.lim_dof] * lim_sign
         jv_c = jnp.sum(efc.con_J * dx[None, None, :], axis=-1)
         sm0 = jnp.dot(msm, dx)          # smooth slope at alpha = 0
@@ -613,8 +629,8 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
 
     x = a_free
     if warmstart is not None:
-        c_ws = _primal_cost(efc, M, a_free, warmstart)
-        c_af = _primal_cost(efc, M, a_free, a_free)
+        c_ws = _primal_cost(efc, mv, a_free, warmstart)
+        c_af = _primal_cost(efc, mv, a_free, a_free)
         x = jnp.where(c_ws < c_af, warmstart, a_free)
 
     from flybody_tpu.ops import cholesky as _pchol
@@ -661,7 +677,10 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         Vt = jnp.sum(G[:, :, :, None] * Vb[:, :, None, :], axis=1)
         U = Vt.reshape(3 * SB, nv).T
         rhs = jnp.concatenate([g[:, None], U], axis=1)
-        F, sol = aops.chol_solve_pe(H + 1e-12 * eye, rhs)
+        if packed_m:
+            F, sol = aops.chol_solve_pe(H, rhs)
+        else:
+            F, sol = aops.chol_solve_pe(H + 1e-12 * eye, rhs)
         t = sol[:, 0]
         Z = sol[:, 1:]
         C = eye_sb + U.T @ Z  # true (3SB, 3SB) GEMM: MXU-friendly as-is

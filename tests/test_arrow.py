@@ -213,3 +213,83 @@ def test_efc_compaction_overflow_and_padding():
     sel4 = np.asarray(efc4.con_sel)
     assert set(sel4.tolist()) <= set(active_slots.tolist())
     assert np.asarray(efc4.con_active).all()
+
+
+def _rand_arrow_spd_np(part, rng, dtype=np.float64):
+    nv = part.nv
+    X = rng.standard_normal((nv, nv)).astype(dtype) * 0.2
+    S = X @ X.T + np.eye(nv, dtype=dtype) * 3.0
+    mask = np.zeros((nv, nv), dtype)
+    mask[:part.nr, :] = 1
+    mask[:, :part.nr] = 1
+    for lo, d in zip(part.los, part.ds):
+        mask[lo:lo + d, lo:lo + d] = 1
+    A = S * mask + np.eye(nv, dtype=dtype) * 3.0
+    return (A + A.T) / 2
+
+
+def test_packed_sym_roundtrip_matvec_factor(part):
+    """pack_sym_ref/unpack_sym_ref roundtrip, matvec_packed, diag add,
+    and the packed-input factor reference all match dense."""
+    rng = np.random.default_rng(7)
+    A = jnp.asarray(_rand_arrow_spd_np(part, rng))
+    Mp = arrow.pack_sym_ref(part, A)
+    np.testing.assert_allclose(np.asarray(arrow.unpack_sym_ref(part, Mp)),
+                               np.asarray(A), rtol=0, atol=0)
+    x = jnp.asarray(rng.standard_normal(part.nv))
+    np.testing.assert_allclose(np.asarray(arrow.matvec_packed(part, Mp, x)),
+                               np.asarray(A @ x), rtol=1e-12, atol=1e-12)
+    Xm = jnp.asarray(rng.standard_normal((part.nv, 4)))
+    np.testing.assert_allclose(
+        np.asarray(arrow.matvec_packed(part, Mp, Xm)),
+        np.asarray(A @ Xm), rtol=1e-12, atol=1e-12)
+    dg = jnp.asarray(rng.random(part.nv))
+    np.testing.assert_allclose(
+        np.asarray(arrow.unpack_sym_ref(
+            part, arrow.add_diag_packed(part, Mp, dg))),
+        np.asarray(A + jnp.diag(dg)), rtol=0, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(arrow.factor_ref_p(part, Mp)),
+                               np.asarray(arrow.factor_ref(part, A)),
+                               rtol=0, atol=1e-12)
+
+
+def test_packed_factor_kernel_interpret(part):
+    """The packed-input pallas factor (and fused factor+solve) matches
+    the dense-input reference."""
+    rng = np.random.default_rng(8)
+    B = 160
+    As = jnp.asarray(np.stack(
+        [_rand_arrow_spd_np(part, rng, np.float32) for _ in range(B)]))
+    Mps = jax.vmap(lambda a: arrow.pack_sym_ref(part, a))(As)
+    F_ref = jax.vmap(lambda a: arrow.factor_ref(part, a))(As)
+    F_pk = arrow.factor_batched(part, Mps, interpret=True)
+    np.testing.assert_allclose(np.asarray(F_pk), np.asarray(F_ref),
+                               rtol=0, atol=5e-6)
+    b = jnp.asarray(rng.standard_normal((B, part.nv)).astype(np.float32))
+    _, x2 = arrow.factor_solve_batched(part, Mps, b, interpret=True)
+    x_ref = jax.vmap(lambda f, r: arrow.solve_ref(part, f, r))(F_ref, b)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x_ref),
+                               rtol=0, atol=5e-6)
+
+
+def test_crb_packed_matches_dense():
+    """smooth.crb_packed equals smooth.crb under unpack on a live state."""
+    from flybody_tpu.physics import kinematics as kin
+    from flybody_tpu.physics import smooth as sm
+    from flybody_tpu.physics.state import make_data
+
+    fly, _ = mc.build_fly_model()
+    p = arrow.build_partition(fly.meta)
+    rng = np.random.default_rng(9)
+    data = make_data(fly)
+    data = data.replace(
+        qpos=data.qpos + 0.05 * jnp.asarray(
+            rng.standard_normal(data.qpos.shape[0])),
+        qvel=jnp.asarray(0.2 * rng.standard_normal(fly.meta.nv)))
+    data, ja, jx = kin.kinematics(fly, data)
+    data = kin.com_pos(fly, data, ja, jx)
+    Md = np.asarray(sm.crb(fly, data).qM)
+    Mp = sm.crb_packed(fly, data).qM
+    np.testing.assert_allclose(
+        np.asarray(arrow.unpack_sym_ref(p, Mp)), Md,
+        rtol=0, atol=1e-15)
