@@ -277,6 +277,271 @@ def _ref_step(part, lim_dof, lim_sign, ls_iters, F, M, conJ, Z, U, LC,
             jar_c + alpha * jv_c)
 
 
+def _make_block_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
+                       lim_dof: tuple, lim_sign: tuple, ls_iters: int,
+                       n_iters: int):
+    """Kernel body: ONE launch runs a whole Newton refactor block —
+    packed-arrow factor of H, the SB3-RHS solve for the Woodbury Z,
+    the (SB3, SB3) capacitance Cholesky, then n_iters full Newton
+    iterations (gradient, substitution, Woodbury correction, exact line
+    search, incremental state update) with every operand VMEM-resident.
+
+    Z is carried in the solve kernel's (SB3, nv, L) layout and U is
+    passed transposed as (SB3, nv) so the multi-RHS substitution writes
+    Z directly."""
+    nv = part.nv
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    los, ds = part.los, part.ds
+    fbody = _arrow._make_factor_body(part, packed=True)
+    solveZ = _arrow._make_solve_body(part, SB3)
+    solve1 = _arrow._make_solve_body(part, 1)
+
+    def body(hp_ref, m_ref, j_ref, u2_ref, xm_ref, jl_ref, jc_ref,
+             lp_ref, cp_ref, xm_o, jl_o, jc_o,
+             dw, bw, f_scr, z_scr, ylz, clz, g_scr, t_scr, yl1, cl1,
+             lc_scr, m_scr):
+        dtype = m_ref.dtype
+        actl, Dl = lp_ref[0], lp_ref[1]
+        mu, fric, actc, Dc = cp_ref[0], cp_ref[1], cp_ref[2], cp_ref[3]
+
+        # --- Prologue: factor H, solve Z, capacitance Cholesky.
+        fbody(hp_ref, f_scr, dw, bw)
+        solveZ(f_scr, u2_ref, z_scr, ylz, clz)  # z_scr: (SB3, nv, L)
+        rows_c = jax.lax.broadcasted_iota(jnp.int32, (SB3, 1, 1), 0)
+        cols_c = jax.lax.broadcasted_iota(jnp.int32, (1, SB3, 1), 1)
+        eye_c = (rows_c == cols_c).astype(dtype)
+        cw = jnp.concatenate([
+            jnp.sum(u2_ref[a:a + 1, :, :] * z_scr[...], axis=1)[None]
+            for a in range(SB3)], axis=0)  # (SB3, SB3, L) = U^T Z^T? no:
+        # cw[a, b, :] = sum_v U2[a, v] Z[b, v] = (U^T A^-1 U)[a, b].
+        cw = cw + eye_c * (1.0 + 1e-10)
+        lc = jnp.zeros_like(cw)
+        for k in range(SB3):
+            dkk = cw[k:k + 1, k:k + 1, :]
+            inv = jax.lax.rsqrt(jnp.maximum(dkk, 1e-30))
+            c = jnp.where(rows_c >= k, cw[:, k:k + 1, :] * inv, 0.0)
+            r = jnp.where(cols_c >= k, cw[k:k + 1, :, :] * inv, 0.0)
+            lc = lc + c * (cols_c == k).astype(dtype)
+            cw = cw - c * r
+        lc_scr[...] = lc
+
+        def mdx_packed(dx):
+            xr = dx[0:nr, :]
+            yr = jnp.sum(m_ref[nl, 0:nr, 0:nr, :] * xr[None, :, :],
+                         axis=1)
+            for li, (lo, d) in enumerate(zip(los, ds)):
+                xl = dx[lo:lo + d, :]
+                Dblk = m_ref[li, 0:dm, 0:d, :]
+                ylv = jnp.sum(Dblk * xl[None, :, :], axis=1)
+                Bblk = m_ref[li, dm:dm + nr, 0:d, :]
+                ylb = jnp.sum(Bblk * xr[:, None, :], axis=0)
+                yr = yr + jnp.sum(Bblk * xl[None, :, :], axis=1)
+                m_scr[0, lo:lo + d, :] = ylv[0:d, :] + ylb
+            m_scr[0, 0:nr, :] = yr
+            return m_scr[0]
+
+        def one_iter(x, msm, jar_l, N, y1, y2):
+            f_l = jnp.where(jar_l < 0, -Dl * jar_l * actl, 0.0)
+            r0, r1, r2 = _cone_residual_planes(N, y1, y2, mu, fric)
+            Dact = Dc * actc
+            f0, f1, f2 = -Dact * r0, -Dact * r1, -Dact * r2
+            rows_nv = jax.lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
+            g = msm
+            for li, (d, sg) in enumerate(zip(lim_dof, lim_sign)):
+                g = jnp.where(rows_nv == d, g - sg * f_l[li:li + 1, :], g)
+            frows = jnp.stack([f0, f1, f2], axis=1).reshape(3 * K, -1)
+            g = g - jnp.sum(j_ref[...] * frows[:, None, :], axis=0)
+
+            g_scr[...] = g[None]
+            solve1(f_scr, g_scr, t_scr, yl1, cl1)
+            t = t_scr[0]  # (nv, L)
+
+            # Woodbury with the transposed layouts: Ut[a] = U2[a,:].t.
+            Ut = jnp.sum(u2_ref[...] * t[None, :, :], axis=1)  # (SB3, L)
+            rsel = jax.lax.broadcasted_iota(jnp.int32, (SB3, 1), 0)
+            wv = jnp.zeros_like(Ut)
+            for kk in range(SB3):
+                row = lc_scr[kk, :, :]
+                acc = jnp.sum(row * wv, axis=0, keepdims=True)
+                val = (Ut[kk:kk + 1, :] - acc) / lc_scr[kk, kk, :][None]
+                wv = jnp.where(rsel == kk, val, wv)
+            wb = jnp.zeros_like(wv)
+            cr = jnp.zeros_like(wv)
+            for i2 in range(SB3):
+                kk = SB3 - 1 - i2
+                val = (wv[kk:kk + 1, :] - cr[kk:kk + 1, :]) / (
+                    lc_scr[kk, kk, :][None])
+                wb = jnp.where(rsel == kk, val, wb)
+                cr = cr + lc_scr[kk, :, :] * val
+            dx = -(t - jnp.sum(z_scr[...] * wb[:, None, :], axis=0))
+
+            mdx = mdx_packed(dx)
+            jv = jnp.sum(j_ref[...] * dx[None, :, :], axis=1)
+            jv3 = jv.reshape(K, 3, -1)
+            jvn, jvt1, jvt2 = jv3[:, 0, :], jv3[:, 1, :], jv3[:, 2, :]
+            jv_l = jnp.concatenate(
+                [sg * dx[d:d + 1, :] for d, sg in zip(lim_dof, lim_sign)],
+                axis=0)
+            sm0 = jnp.sum(msm * dx, axis=0, keepdims=True)
+            smm = jnp.sum(dx * mdx, axis=0, keepdims=True)
+            lim_planes = jnp.stack([jar_l, jv_l, actl, Dl])
+            con_planes = jnp.stack([N, y1, y2, jvn, jvt1, jvt2,
+                                    mu, fric, actc, Dc])
+            alpha = _ls.search_planes(lim_planes, con_planes, sm0, smm,
+                                      6, ls_iters)
+            return (x + alpha * dx, msm + alpha * mdx,
+                    jar_l + alpha * jv_l, N + alpha * jvn,
+                    y1 + alpha * jvt1, y2 + alpha * jvt2)
+
+        st = (xm_ref[0], xm_ref[1], jl_ref[0],
+              jc_ref[0], jc_ref[1], jc_ref[2])
+        for _ in range(n_iters):
+            st = one_iter(*st)
+        x, msm, jar_l, N, y1, y2 = st
+        xm_o[...] = jnp.stack([x, msm])
+        jl_o[...] = jar_l[None]
+        jc_o[...] = jnp.stack([N, y1, y2])
+
+    return body
+
+
+@functools.lru_cache(maxsize=32)
+def _block_fn(part: _arrow.Part, K: int, SB3: int, nlim: int,
+              lim_dof: tuple, lim_sign: tuple, ls_iters: int,
+              n_iters: int, interpret: bool = False):
+    nv = part.nv
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    body = _make_block_kernel(part, K, SB3, nlim, lim_dof, lim_sign,
+                              ls_iters, n_iters)
+
+    @jax.jit
+    def run(Hp_t, M_t, J_t, U2_t, xm_t, jl_t, jc_t, lp_t, cp_t):
+        B = M_t.shape[-1]
+        grid = (B // LANES,)
+
+        def spec(*shape):
+            return pl.BlockSpec(shape + (LANES,),
+                                lambda i: (0,) * len(shape) + (i,),
+                                memory_space=pltpu.VMEM)
+
+        pk = spec(nl + 1, dm + nr, dm)
+        return pl.pallas_call(
+            body,
+            out_shape=(jax.ShapeDtypeStruct((2, nv, B), M_t.dtype),
+                       jax.ShapeDtypeStruct((1, nlim, B), M_t.dtype),
+                       jax.ShapeDtypeStruct((3, K, B), M_t.dtype)),
+            grid=grid,
+            in_specs=[pk, pk, spec(3 * K, nv), spec(SB3, nv),
+                      spec(2, nv), spec(1, nlim), spec(3, K),
+                      spec(2, nlim), spec(4, K)],
+            out_specs=(spec(2, nv), spec(1, nlim), spec(3, K)),
+            scratch_shapes=[
+                pltpu.VMEM((nl, dm, dm, LANES), jnp.float32),
+                pltpu.VMEM((max(nl, 1), max(nr, 1), dm, LANES),
+                           jnp.float32),
+                pltpu.VMEM((nl + 1, dm + nr, dm, LANES), jnp.float32),
+                pltpu.VMEM((SB3, nv, LANES), jnp.float32),
+                pltpu.VMEM((nl, SB3, dm, LANES), jnp.float32),
+                pltpu.VMEM((nl, SB3, dm, LANES), jnp.float32),
+                pltpu.VMEM((1, nv, LANES), jnp.float32),
+                pltpu.VMEM((1, nv, LANES), jnp.float32),
+                pltpu.VMEM((nl, 1, dm, LANES), jnp.float32),
+                pltpu.VMEM((nl, 1, dm, LANES), jnp.float32),
+                pltpu.VMEM((SB3, SB3, LANES), jnp.float32),
+                pltpu.VMEM((1, nv, LANES), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(Hp_t, M_t, J_t, U2_t, xm_t, jl_t, jc_t, lp_t, cp_t)
+
+    return run
+
+
+def _ref_block(part, lim_dof, lim_sign, ls_iters, n_iters, Hp, M, conJ,
+               U, x, msm, jar_l, jar_c, lim_params, con_params):
+    """Single-env jnp reference for the block kernel: factor + Z + LC
+    prologue, then n_iters chained reference steps. U: (nv, SB3)."""
+    SB3 = U.shape[-1]
+    F = _arrow.factor_ref_p(part, Hp)
+    Z = _arrow.solve_ref(part, F, U)
+    C = jnp.eye(SB3, dtype=U.dtype) + U.T @ Z
+    LC = jnp.linalg.cholesky(C + 1e-10 * jnp.eye(SB3, dtype=U.dtype))
+    return _ref_step_n(part, lim_dof, lim_sign, ls_iters, n_iters, F, M,
+                       conJ, Z, U, LC, x, msm, jar_l, jar_c, lim_params,
+                       con_params)
+
+
+@functools.lru_cache(maxsize=32)
+def make_newton_block_pe(part: _arrow.Part, lim_dof: tuple,
+                         lim_sign: tuple, ls_iters: int, n_iters: int,
+                         interpret: bool = False):
+    """Per-env whole-Newton-block op (packed H and M only);
+    pallas-batched under vmap on TPU.
+
+    Per-env args: Hp/M packed (nl+1, dm+nr, dm), conJ (K, 3, nv),
+    U (nv, 3SB) Woodbury columns, x/msm (nv,), jar_l (L,), jar_c (K, 3),
+    lim_params (2, L), con_params (4, K). Returns the updated
+    (x, msm, jar_l, jar_c) after n_iters Newton iterations on the fresh
+    factor."""
+    nlim = len(lim_dof)
+
+    @custom_batching.custom_vmap
+    def f(Hp, M, conJ, U, x, msm, jar_l, jar_c, lim_params, con_params):
+        return _ref_block(part, lim_dof, lim_sign, ls_iters, n_iters,
+                          Hp, M, conJ, U, x, msm, jar_l, jar_c,
+                          lim_params, con_params)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, Hp, M, conJ, U, x, msm, jar_l,
+              jar_c, lim_params, con_params):
+        del axis_size
+        args = (Hp, M, conJ, U, x, msm, jar_l, jar_c, lim_params,
+                con_params)
+        if not all(in_batched) or not (_use_pallas() or interpret):
+            axes = [0 if b else None for b in in_batched]
+            out = jax.vmap(lambda *a: _ref_block(
+                part, lim_dof, lim_sign, ls_iters, n_iters, *a),
+                in_axes=axes)(*args)
+            return out, (True, True, True, True)
+        B = M.shape[0]
+        K = conJ.shape[1]
+        SB3 = U.shape[-1]
+        pad = (-B) % LANES
+
+        def tol(v):
+            v = jnp.moveaxis(v, 0, -1)
+            if pad:
+                fill = jnp.zeros(v.shape[:-1] + (pad,), v.dtype)
+                v = jnp.concatenate([v, fill], axis=-1)
+            return v
+
+        Hp_t = tol(Hp)
+        if pad:  # dead lanes factor an identity
+            Hp_t = Hp_t.at[..., B:].set(
+                _arrow._identity_packed(part, Hp.dtype))
+        M_t = tol(M)
+        J_t = tol(conJ.reshape(B, 3 * K, -1))
+        U2_t = tol(jnp.swapaxes(U, 1, 2))  # (SB3, nv, B)
+        xm_t = tol(jnp.stack([x, msm], axis=1))
+        jl_t = tol(jar_l)[None]
+        jc_t = tol(jnp.swapaxes(jar_c, 1, 2))
+        lp_t = tol(lim_params)
+        cp_t = tol(con_params)
+        run = _block_fn(part, K, SB3, nlim, lim_dof, lim_sign, ls_iters,
+                        n_iters, interpret)
+        xm_o, jl_o, jc_o = run(Hp_t, M_t, J_t, U2_t, xm_t, jl_t, jc_t,
+                               lp_t, cp_t)
+
+        def fro(v):
+            return jnp.moveaxis(v[..., :B], -1, 0)
+
+        xm = fro(xm_o)
+        return (xm[:, 0], xm[:, 1], fro(jl_o)[:, 0],
+                jnp.swapaxes(fro(jc_o), 1, 2)), (True, True, True, True)
+
+    return f
+
+
 @functools.lru_cache(maxsize=16)
 def make_reuse_pe(part: _arrow.Part, lim_dof: tuple, lim_sign: tuple,
                   ls_iters: int, n_iters: int = 1,

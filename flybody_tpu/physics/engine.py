@@ -125,8 +125,7 @@ def fwd(model: FlyModel, data: Data,
     data = data.replace(qfrc_smooth=qfrc_smooth)
 
     # Constraint solve.
-    data = _sm.factor_m(model, data)
-    a_free = _sm.solve_m(model, data, qfrc_smooth)
+    data, a_free = _sm.factor_solve_m(model, data, qfrc_smooth)
     qacc, qfrc_con, f_l, f_c = _sol.solve(
         model, data, efc, a_free, iterations=solver_iterations,
         ls_iterations=ls_iterations,

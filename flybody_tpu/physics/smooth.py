@@ -207,6 +207,22 @@ def factor_m(model: FlyModel, data: Data,
     return data.replace(qLD=_pchol.chol_pe(M))
 
 
+def factor_solve_m(model: FlyModel, data: Data,
+                   rhs: jax.Array) -> tuple[Data, jax.Array]:
+    """Fused factor_m + solve_m: one factor+solve launch instead of a
+    factor launch followed by a substitution launch (the factor kernel's
+    cost is dominated by moving M; the fused kernel solves while M is
+    already VMEM-resident)."""
+    M = data.qM
+    aops = arrow_ops(model.meta)
+    if aops is not None:
+        qLD, x = aops.chol_solve_pe(M, rhs)
+        return data.replace(qLD=qLD), x
+    from flybody_tpu.ops import cholesky as _pchol
+    qLD, x = _pchol.chol_solve_pe(M, rhs)
+    return data.replace(qLD=qLD), x
+
+
 def solve_m(model: FlyModel, data: Data, rhs: jax.Array) -> jax.Array:
     """Solve qM x = rhs using the cached factor (dense or arrow-packed;
     distinguished by qLD rank). Vector rhs takes the single-RHS pallas

@@ -697,6 +697,24 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         return fr(F, M, efc.con_J, Z, U, LC, x, msm, jar_l,
                   jar_c, lim_params, con_params)
 
+    def newton_block(st, n):
+        """A whole refactor block in ONE kernel launch: Hessian/Woodbury
+        operand assembly in XLA (the JTJH GEMM wants the MXU), then
+        factor + Z-solve + capacitance Cholesky + n full Newton
+        iterations VMEM-resident (ops/newton_fused.make_newton_block_pe).
+        Packed-M path only."""
+        x, msm, jar_l, jar_c = st
+        Hp = hessian(jar_l, jar_c)
+        jar_b = ohb @ jar_c
+        Wb = _cone_hessian(jar_b, mub, fricb, actb) * Db[:, None, None]
+        G = _chol3_psd(Wb)
+        Vt = jnp.sum(G[:, :, :, None] * Vb[:, :, None, :], axis=1)
+        U = Vt.reshape(3 * SB, nv).T
+        fn = _nf.make_newton_block_pe(part, _lim_dof_t, _lim_sign_t,
+                                      ls_iterations, n)
+        return fn(Hp, M, efc.con_J, U, x, msm, jar_l, jar_c,
+                  lim_params, con_params)
+
     def fresh_step_dense(st):
         """Newton step with fresh Hessian assembly + fused factor/solve."""
         g = grad_from(st[1], st[2], st[3])
@@ -727,7 +745,15 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
     # exit early, but a pallas custom-call inside a batched while_loop
     # faults the TPU runtime (observed 2026-08-16); fixed trip counts.
     p = max(1, refactor_period)
-    if p == 1:
+    if aops is not None and packed_m:
+        # Whole-block fused kernel (factor + all iterations per launch).
+        nblocks, tail = divmod(iterations, p)
+        if nblocks:
+            st = jax.lax.fori_loop(0, nblocks,
+                                   lambda i, ss: newton_block(ss, p), st)
+        if tail:
+            st = newton_block(st, tail)
+    elif p == 1:
         st = jax.lax.fori_loop(0, iterations,
                                lambda i, ss: fresh_step(ss)[0], st)
     else:

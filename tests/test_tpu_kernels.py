@@ -146,6 +146,21 @@ def test_compiled_fused_newton_reuse_step():
         close = np.isclose(got, want, rtol=1e-2, atol=2e-3)
         assert close.mean() > 0.995, (nm, close.mean())
 
+    # Whole-block kernel (factor + Z + LC + 3 iterations per launch)
+    # with packed H/M.
+    Mps = jax.vmap(lambda a: arrow.pack_sym_ref(part, a))(jnp.asarray(As))
+    args_blk = (Mps, Mps, conJ, U, x, msm, jar_l, jar_c, lim_params,
+                con_params)
+    ref_b = jax.jit(jax.vmap(lambda *a: newton_fused._ref_block(
+        part, lim_dof, lim_sign, 30, 3, *a)))(*args_blk)
+    blk = newton_fused.make_newton_block_pe(part, lim_dof, lim_sign,
+                                            30, 3)
+    out_b = jax.jit(jax.vmap(blk))(*args_blk)
+    for nm, o, r in zip(['x', 'msm', 'jar_l', 'jar_c'], out_b, ref_b):
+        got, want = np.asarray(o), np.asarray(r)
+        close = np.isclose(got, want, rtol=1e-2, atol=2e-3)
+        assert close.mean() > 0.995, (nm, close.mean())
+
 
 def test_compiled_engine_step_finite():
     """Full engine step (all pallas kernels live) at a modest batch."""
