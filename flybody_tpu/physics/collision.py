@@ -50,6 +50,26 @@ _PAIR_NCON = {
     (_s.GEOM_CYLINDER, _s.GEOM_CYLINDER): 1,
 }
 
+def _pair_rows(key) -> int:
+    """Contact slots emitted per candidate pair.
+
+    Analytic plane manifolds (plane-capsule 2 pts, plane-cylinder 3 pts)
+    are genuinely distinct contact points and keep one slot each. MPR
+    multi-point manifolds are REPLICATED rows (MuJoCo's nativeccd emits
+    near-coincident points with identical dist/normal — see _PAIR_NCON
+    note), which are exactly equivalent in the soft-constraint model to
+    ONE row with nrep-scaled stiffness (n identical rows of weight D
+    contribute n*D to cost/gradient/Hessian and total force): they
+    collapse to a single slot with slot_nrep = n, shrinking the slot
+    tables and freeing top-K contact budget."""
+    return 1 if key in _MPR_PAIRS else _PAIR_NCON[key]
+
+
+def _pair_nrep(key) -> int:
+    """Stiffness replication factor folded into the collapsed slot."""
+    return _PAIR_NCON[key] if key in _MPR_PAIRS else 1
+
+
 # Pairs handled by MPR rather than analytic formulas.
 _MPR_PAIRS = {
     (_s.GEOM_SPHERE, _s.GEOM_ELLIPSOID),
@@ -102,13 +122,14 @@ def pair_tables(meta: _s.Meta, terrain: bool = False):
             groups.setdefault(key, []).append((a, b))
 
     out = {}
-    slot_geom1, slot_geom2, slot_condim = [], [], []
+    slot_geom1, slot_geom2, slot_condim, slot_nrep = [], [], [], []
     condim = np.array(meta.geom_condim)
     prio = np.array(meta.geom_priority)
     for key in sorted(groups):
         g1 = np.array([p[0] for p in groups[key]])
         g2 = np.array([p[1] for p in groups[key]])
-        k = _PAIR_NCON[key]
+        k = _pair_rows(key)
+        nrep = _pair_nrep(key)
         out[key] = (g1, g2, k)
         for p1, p2 in groups[key]:
             if prio[p1] != prio[p2]:
@@ -118,12 +139,14 @@ def pair_tables(meta: _s.Meta, terrain: bool = False):
             slot_geom1 += [p1] * k
             slot_geom2 += [p2] * k
             slot_condim += [int(cd)] * k
+            slot_nrep += [float(nrep)] * k
 
     slot_geom1 = np.array(slot_geom1, dtype=np.int64)
     slot_geom2 = np.array(slot_geom2, dtype=np.int64)
     slot_body1 = gbody[slot_geom1]
     slot_body2 = gbody[slot_geom2]
     slot_condim = np.array(slot_condim, dtype=np.int64)
+    slot_nrep = np.array(slot_nrep, dtype=np.float64)
 
     if terrain:
         from flybody_tpu.physics import terrain as _terr
@@ -135,6 +158,8 @@ def pair_tables(meta: _s.Meta, terrain: bool = False):
             [slot_body1, np.zeros(ttb['nslot'], dtype=np.int64)])
         slot_body2 = np.concatenate([slot_body2, ttb['slot_body']])
         slot_condim = np.concatenate([slot_condim, ttb['slot_condim']])
+        slot_nrep = np.concatenate(
+            [slot_nrep, np.ones(ttb['nslot'], dtype=np.float64)])
 
     return dict(
         groups=out,
@@ -143,6 +168,7 @@ def pair_tables(meta: _s.Meta, terrain: bool = False):
         slot_condim=slot_condim,
         slot_body1=slot_body1,
         slot_body2=slot_body2,
+        slot_nrep=slot_nrep,
         nslot=len(slot_geom1),
     )
 
@@ -161,17 +187,40 @@ def self_pair_mask(meta: _s.Meta, terrain: bool = False):
 
 
 @struct.dataclass
+class CompactBlock:
+    """A broadphase-compacted candidate block (P closest pairs of some
+    family), carrying everything make_efc needs — gathered through the
+    broadphase one-hot GEMM, never scattered back to full slots."""
+
+    idx: jax.Array  # (P,) float global slot ids (exact small ints)
+    dist: jax.Array  # (P,)
+    pos: jax.Array  # (P, 3)
+    normal: jax.Array  # (P, 3)
+    params: jax.Array  # (P, 14) efc_slot_table rows
+
+
+@struct.dataclass
 class Contact:
-    """All candidate contact slots (static size S).
+    """Candidate contact slots.
+
+    Dense mode (collide(compact=False), the parity/test API): dist/pos/
+    normal cover ALL S slots in pair_tables order and blocks is empty.
+
+    Compact mode (engine perf path): dist/pos/normal cover only the
+    plane/sphere (+terrain) slots — global ids dense_slot_ids() — while
+    the big pair families (capsule-capsule, merged MPR) arrive as
+    CompactBlocks of their P closest candidates; make_efc feeds the
+    blocks straight into its top-K selection.
 
     Only state-dependent fields live here: contact parameters (friction,
     solref, solimp, margins) are pure functions of the model and come from
     slot_params() — keeping them out of the vmapped collide output avoids
     broadcasting ~2/3 of the struct across the env batch."""
 
-    dist: jax.Array  # (S,)
-    pos: jax.Array  # (S, 3)
-    normal: jax.Array  # (S, 3), geom1 -> geom2
+    dist: jax.Array  # (S,) or (S_dense,)
+    pos: jax.Array  # (·, 3)
+    normal: jax.Array  # (·, 3), geom1 -> geom2
+    blocks: tuple = ()  # tuple[CompactBlock, ...]
 
 
 class SlotParams(NamedTuple):
@@ -473,20 +522,15 @@ def _mpr_handler(t1, t2):
     # Strictly convex (sphere-swept/ellipsoidal) pairs get a smooth-surface
     # polish after MPR; cylinder edges are non-smooth, so they do not.
     smooth_pair = _s.GEOM_CYLINDER not in (t1, t2)
-    k = _PAIR_NCON[(t1, t2)]
 
     def h(pg: PairGeo):
         # Under vmap on TPU this dispatches the VMEM-resident pallas MPR
         # kernel (ops/mpr_kernel.py); otherwise the plain jnp MPR runs.
+        # Multi-point MPR manifolds collapse to one slot (_pair_rows).
         from flybody_tpu.ops import mpr_kernel as _mprk
         f = _mprk.make_mpr_pe(t1, t2, 8 if smooth_pair else 0)
         dist, n, pos = f(pg.pos1, pg.mat1, pg.size1, pg.mg1,
                          pg.pos2, pg.mat2, pg.size2, pg.mg2)
-        if k > 1:
-            # Replicated manifold rows (see _PAIR_NCON note).
-            return (jnp.repeat(dist[:, None], k, axis=1),
-                    jnp.repeat(pos[:, None], k, axis=1),
-                    jnp.repeat(n[:, None], k, axis=1))
         return dist[:, None], pos[:, None], n[:, None]
     return h
 
@@ -577,21 +621,27 @@ MPR_MERGED_TOP_P = 128
 
 @functools.lru_cache(maxsize=8)
 def _mpr_tables(meta: _s.Meta):
-    """Concatenated candidate tables for the merged MPR broadphase."""
+    """Concatenated candidate tables for the merged MPR broadphase.
+
+    `slot_ids` maps merged-pair order -> global slot-table index
+    (pair_tables order), used by the compact contact path."""
     tb = pair_tables(meta)
-    g1s, g2s, t1s, t2s = [], [], [], []
+    g1s, g2s, t1s, t2s, sids = [], [], [], [], []
     ranges = {}  # key -> (pair_lo, npairs, k)
     lo = 0
+    slot_lo = 0
     for key, (g1, g2, k) in tb['groups'].items():
-        if key not in _MPR_PAIRS:
-            continue
         n = len(g1)
-        ranges[key] = (lo, n, k)
-        g1s.append(g1)
-        g2s.append(g2)
-        t1s.append(np.full(n, key[0], dtype=np.float64))
-        t2s.append(np.full(n, key[1], dtype=np.float64))
-        lo += n
+        if key in _MPR_PAIRS:
+            ranges[key] = (lo, n, k)
+            g1s.append(g1)
+            g2s.append(g2)
+            t1s.append(np.full(n, key[0], dtype=np.float64))
+            t2s.append(np.full(n, key[1], dtype=np.float64))
+            # MPR rows collapse to 1 slot per pair (_pair_rows).
+            sids.append(slot_lo + np.arange(n, dtype=np.int64) * k)
+            lo += n
+        slot_lo += n * k
     g1 = np.concatenate(g1s)
     g2 = np.concatenate(g2s)
     t1 = np.concatenate(t1s)
@@ -599,10 +649,137 @@ def _mpr_tables(meta: _s.Meta):
     smooth = ((t1 != _s.GEOM_CYLINDER)
               & (t2 != _s.GEOM_CYLINDER)).astype(np.float64)
     return dict(g1=g1, g2=g2, t1=t1, t2=t2, smooth=smooth, ranges=ranges,
-                n=lo)
+                n=lo, slot_ids=np.concatenate(sids))
 
 
-def _mpr_merged(model: FlyModel, data: Data, gcat: jax.Array):
+_CC_KEY = (_s.GEOM_CAPSULE, _s.GEOM_CAPSULE)
+
+
+@functools.lru_cache(maxsize=8)
+def dense_slot_ids(meta: _s.Meta, terrain: bool = False) -> np.ndarray:
+    """Global slot ids of the rows collide(compact=True) emits densely:
+    the plane/sphere analytic-group slots in pair_tables order, then
+    terrain slots. Capsule-capsule and the MPR families arrive as
+    CompactBlocks instead."""
+    from flybody_tpu.ops import narrowphase as _np
+    tb = pair_tables(meta, terrain)
+    ids = []
+    slot_lo = 0
+    for key, (g1, g2, k) in tb['groups'].items():
+        n = len(g1) * k
+        if key in _np.ANALYTIC_KEYS and key != _CC_KEY:
+            ids.append(slot_lo + np.arange(n, dtype=np.int64))
+        slot_lo += n
+    if terrain:
+        ids.append(np.arange(slot_lo, tb['nslot'], dtype=np.int64))
+    return np.concatenate(ids)
+
+
+# Candidate budget for the compacted capsule-capsule narrowphase: a
+# 3000-step random-ctrl rollout on the full fly peaks at 15 bound-active
+# capsule-capsule pairs (of 1039), so 128 has ~8x headroom.
+CC_TOP_P = 128
+
+
+@functools.lru_cache(maxsize=8)
+def _cc_tables(meta: _s.Meta):
+    """Capsule-capsule group's pair arrays + global slot ids."""
+    tb = pair_tables(meta)
+    slot_lo = 0
+    for key, (g1, g2, k) in tb['groups'].items():
+        if key == _CC_KEY:
+            n = len(g1)
+            return dict(g1=g1, g2=g2,
+                        slot_ids=slot_lo + np.arange(n, dtype=np.int64),
+                        n=n)
+        slot_lo += len(g1) * k
+    return None
+
+
+def _cc_compact(model: FlyModel, data: Data,
+                gcat: jax.Array) -> CompactBlock:
+    """Capsule-capsule bounding-sphere broadphase + EXACT analytic
+    narrowphase on the P closest candidates.
+
+    The fused all-pairs analytic kernel spends most of its time on this
+    one group (1039 of 1154 pairs); only ~15 pairs are ever within
+    bounding-sphere contact range, so a top-P compaction (same one-hot
+    gather GEMM recipe as the merged MPR broadphase) removes ~90% of
+    that work while keeping the exact segment-segment formula."""
+    ct = _cc_tables(model.meta)
+    dtype = data.qpos.dtype
+    g1, g2 = ct['g1'], ct['g2']
+    n_all = ct['n']
+    ngeom = model.meta.ngeom
+    # Bound needs positions only — don't materialize (n_all, 12) pose
+    # rows for provably separated pairs.
+    p1_all = data.geom_xpos[g1]
+    p2_all = data.geom_xpos[g2]
+    rb = jnp.asarray(model.geom_rbound).astype(dtype)
+    mg = jnp.asarray(model.geom_margin).astype(dtype)
+    d_bound = (jnp.linalg.norm(p2_all - p1_all, axis=-1)
+               - rb[g1] - rb[g2] - mg[g1] - mg[g2])
+    P = min(CC_TOP_P, n_all)
+    _, idx = jax.lax.top_k(-d_bound, P)
+    oh = jax.nn.one_hot(idx, n_all, dtype=dtype)  # (P, n_all)
+    # Selected pose rows via small per-geom one-hots straight off gcat
+    # (geom ids ride the pair one-hot GEMM -- traced int gathers lower
+    # to per-row loops on TPU).
+    g1f = oh @ jnp.asarray(np.asarray(g1, np.float64), dtype)
+    g2f = oh @ jnp.asarray(np.asarray(g2, np.float64), dtype)
+    oh1 = jax.nn.one_hot(jnp.round(g1f).astype(jnp.int32), ngeom,
+                         dtype=dtype)
+    oh2 = jax.nn.one_hot(jnp.round(g2f).astype(jnp.int32), ngeom,
+                         dtype=dtype)
+    pos1, mat1 = _split_cat(oh1 @ gcat)
+    pos2, mat2 = _split_cat(oh2 @ gcat)
+    # Static per-pair table [size1 | mg1 | size2 | mg2 | efc(14) | gid].
+    sz = jnp.asarray(model.geom_size).astype(dtype)
+    efc_tab = efc_slot_table(model, dtype=dtype)[
+        np.asarray(ct['slot_ids'])]
+    gid = jnp.asarray(np.asarray(ct['slot_ids'], np.float64), dtype)
+    ucat = jnp.concatenate([
+        sz[g1], mg[g1][:, None], sz[g2], mg[g2][:, None],
+        efc_tab, gid[:, None]], -1)
+    sel = oh @ ucat
+    pg = PairGeo(pos1=pos1, mat1=mat1, size1=sel[:, 0:3], mg1=sel[:, 3],
+                 pos2=pos2, mat2=mat2, size2=sel[:, 4:7], mg2=sel[:, 7])
+    d, p, n = _h_capsule_capsule(pg)  # (P, 1, ...) exact analytic
+    return CompactBlock(idx=sel[:, 22], dist=d[:, 0], pos=p[:, 0],
+                        normal=n[:, 0], params=sel[:, 8:22])
+
+
+def efc_slot_table(model: FlyModel, terrain: bool = False,
+                   dtype=jnp.float32) -> jax.Array:
+    """Static per-slot constraint-row parameter table (S, 14), columns
+    [includemargin, mu, solref(2), solimp(5), condim, diag, body1, body2,
+    selfmask]. Pure function of the model — constant-folded under jit.
+    `diag` (the contact-space inverse-weight approximation) is pre-divided
+    by slot_nrep so collapsed manifold slots get nrep-scaled stiffness."""
+    meta = model.meta
+    tb = pair_tables(meta, terrain)
+    params = slot_params(model, terrain)
+    inv1 = jnp.asarray(model.body_invweight0).astype(dtype)[:, 0]
+    sbody1 = np.asarray(tb['slot_body1'])
+    sbody2 = np.asarray(tb['slot_body2'])
+    nrep_slot = jnp.asarray(tb['slot_nrep'], dtype)
+    diag_slot = (inv1[sbody1] + inv1[sbody2]) / nrep_slot  # (S,)
+    selfmask = self_pair_mask(meta, terrain)
+    return jnp.concatenate([
+        params.includemargin.astype(dtype)[:, None],
+        params.friction.astype(dtype)[:, :1],
+        params.solref.astype(dtype),
+        params.solimp.astype(dtype),
+        jnp.asarray(tb['slot_condim'], dtype)[:, None],
+        diag_slot[:, None],
+        jnp.asarray(sbody1, dtype)[:, None],
+        jnp.asarray(sbody2, dtype)[:, None],
+        jnp.asarray(selfmask, dtype)[:, None],
+    ], -1)  # (S, 14)
+
+
+def _mpr_merged(model: FlyModel, data: Data, gcat: jax.Array,
+                compact: bool = False):
     """ALL mixed-type MPR groups through one bounding-sphere broadphase +
     one type-dispatching narrowphase sweep.
 
@@ -611,6 +788,10 @@ def _mpr_merged(model: FlyModel, data: Data, gcat: jax.Array):
     the per-pair support dispatch costs ~3x inside the kernel but the
     narrowphase runs on 128 candidates instead of ~280 and all the
     XLA-side gather/scatter fixed costs are paid once.
+
+    compact=True skips the full-slot scatter-back and instead returns
+    (slot_ids, dist, pos, normal, efc_params) for the P candidates —
+    the efc params ride the SAME one-hot gather GEMM as the geometry.
     """
     from flybody_tpu.ops import mpr_kernel as _mprk
     meta = model.meta
@@ -618,19 +799,29 @@ def _mpr_merged(model: FlyModel, data: Data, gcat: jax.Array):
     dtype = data.qpos.dtype
     g1, g2 = mtb['g1'], mtb['g2']
     n_all = mtb['n']
-    c1_all = gcat[jnp.asarray(g1)]  # (n_all, 12) static gathers
-    c2_all = gcat[jnp.asarray(g2)]
+    ngeom = meta.ngeom
+    # Bound needs positions only — don't materialize (n_all, 12) pose
+    # rows for provably separated pairs.
+    p1_all = data.geom_xpos[g1]
+    p2_all = data.geom_xpos[g2]
     rb = jnp.asarray(model.geom_rbound).astype(dtype)
     mg = jnp.asarray(model.geom_margin).astype(dtype)
-    d_bound = (jnp.linalg.norm(c2_all[:, :3] - c1_all[:, :3], axis=-1)
+    d_bound = (jnp.linalg.norm(p2_all - p1_all, axis=-1)
                - rb[g1] - rb[g2] - mg[g1] - mg[g2])
     P = min(MPR_MERGED_TOP_P, n_all)
     _, idx = jax.lax.top_k(-d_bound, P)
     oh = jax.nn.one_hot(idx, n_all, dtype=dtype)  # (P, n_all)
-    c1 = oh @ c1_all
-    c2 = oh @ c2_all
-    pos1, mat1 = _split_cat(c1)
-    pos2, mat2 = _split_cat(c2)
+    # Selected pose rows via small per-geom one-hots straight off gcat
+    # (geom ids ride the pair one-hot GEMM -- traced int gathers lower
+    # to per-row loops on TPU).
+    g1f = oh @ jnp.asarray(np.asarray(g1, np.float64), dtype)
+    g2f = oh @ jnp.asarray(np.asarray(g2, np.float64), dtype)
+    oh1 = jax.nn.one_hot(jnp.round(g1f).astype(jnp.int32), ngeom,
+                         dtype=dtype)
+    oh2 = jax.nn.one_hot(jnp.round(g2f).astype(jnp.int32), ngeom,
+                         dtype=dtype)
+    pos1, mat1 = _split_cat(oh1 @ gcat)
+    pos2, mat2 = _split_cat(oh2 @ gcat)
     # Static per-pair table [size1|mg1|size2|mg2|t1|t2|smooth] (n_all, 11).
     sz = jnp.asarray(model.geom_size).astype(dtype)
     ucat = jnp.concatenate([
@@ -638,11 +829,20 @@ def _mpr_merged(model: FlyModel, data: Data, gcat: jax.Array):
         jnp.asarray(mtb['t1'], dtype)[:, None],
         jnp.asarray(mtb['t2'], dtype)[:, None],
         jnp.asarray(mtb['smooth'], dtype)[:, None]], -1)
+    if compact:
+        # Fold the efc params + global slot id into the same gather GEMM.
+        efc_tab = efc_slot_table(model, dtype=dtype)[
+            np.asarray(mtb['slot_ids'])]  # (n_all, 14) static
+        gid = jnp.asarray(np.asarray(mtb['slot_ids'], np.float64), dtype)
+        ucat = jnp.concatenate([ucat, efc_tab, gid[:, None]], -1)
     sel = oh @ ucat
     f = _mprk.make_mpr_merged_pe(8)
     dist, n, pos = f(pos1, mat1, sel[:, 0:3], sel[:, 3],
                      pos2, mat2, sel[:, 4:7], sel[:, 7],
                      sel[:, 8], sel[:, 9], sel[:, 10])
+    if compact:
+        return CompactBlock(idx=sel[:, 25], dist=dist, pos=pos, normal=n,
+                            params=sel[:, 11:25])
     covered = jnp.sum(oh, axis=0)  # (n_all,)
     d_pairs = oh.T @ dist + 1e10 * (1.0 - covered)
     p_pairs = oh.T @ pos
@@ -653,9 +853,13 @@ def _mpr_merged(model: FlyModel, data: Data, gcat: jax.Array):
 
 
 @functools.lru_cache(maxsize=8)
-def _analytic_tables(meta: _s.Meta):
+def _analytic_tables(meta: _s.Meta, exclude_cc: bool = False):
     """Static segment tables for the fused analytic-narrowphase kernel:
-    (segs, g1_all, g2_all, n_slots, key->(slot_lo, npairs, k))."""
+    (segs, g1_all, g2_all, n_slots, key->(slot_lo, npairs, k)).
+
+    exclude_cc=True (compact collide path) leaves the capsule-capsule
+    group out — it goes through its own broadphase-compacted exact
+    narrowphase (_cc_compact) instead of the all-pairs kernel."""
     from flybody_tpu.ops import narrowphase as _np
     tb = pair_tables(meta)
     segs, g1_all, g2_all = [], [], []
@@ -663,6 +867,8 @@ def _analytic_tables(meta: _s.Meta):
     plo = slo = 0
     for key, (g1, g2, k) in tb['groups'].items():
         if key not in _np.ANALYTIC_KEYS:
+            continue
+        if exclude_cc and key == _CC_KEY:
             continue
         n = len(g1)
         segs.append((key, plo, plo + n, slo, k))
@@ -676,22 +882,29 @@ def _analytic_tables(meta: _s.Meta):
 
 
 def collide(model: FlyModel, data: Data,
-            terrain: jax.Array | None = None) -> Contact:
+            terrain: jax.Array | None = None,
+            compact: bool = False) -> Contact:
     """Evaluate all candidate pairs; returns static-size contact slots.
 
     `terrain` (optional, traced): per-env heightfield grid; appends the
-    terrain candidate rows from terrain.py after the geom-pair slots."""
+    terrain candidate rows from terrain.py after the geom-pair slots.
+
+    compact=True (the engine perf path) keeps the capsule-capsule and
+    merged-MPR candidates compact instead of scattering them back to
+    full slots — see Contact."""
     from flybody_tpu.ops import narrowphase as _np
     meta = model.meta
     tb = pair_tables(meta)
     dtype = data.qpos.dtype
     gcat = _geom_cat(data)
 
-    # All analytic pair types (planes, spheres, capsule-capsule) in ONE
-    # fused narrowphase op — each was a separate chain of (P, 3) ops with
-    # ~2 ms of fixed cost at batch 8192, and capsule-capsule (1039 pairs)
-    # alone cost ~20 ms in HBM-streamed temporaries.
-    segs, ag1, ag2, n_aslots, ranges = _analytic_tables(meta)
+    # All analytic pair types in ONE fused narrowphase op — each was a
+    # separate chain of (P, 3) ops with ~2 ms of fixed cost at batch
+    # 8192. In compact mode capsule-capsule (1039 of 1154 pairs) leaves
+    # this kernel for its own broadphase-compacted block.
+    has_cc = compact and _cc_tables(meta) is not None
+    segs, ag1, ag2, n_aslots, ranges = _analytic_tables(
+        meta, exclude_cc=has_cc)
     c1 = gcat[jnp.asarray(ag1)]
     c2 = gcat[jnp.asarray(ag2)]
     size = jnp.asarray(model.geom_size).astype(dtype)
@@ -700,8 +913,11 @@ def collide(model: FlyModel, data: Data,
 
     dists, poss, normals = [], [], []
     mpr_res = None
+    has_mpr = False
     for key, (g1, g2, k) in tb['groups'].items():
         if key in _np.ANALYTIC_KEYS:
+            if has_cc and key == _CC_KEY:
+                continue  # compact capsule-capsule block below
             slo, n, kk = ranges[key]
             d = d_a[slo:slo + n * kk]
             p = p_a[slo:slo + n * kk]
@@ -710,10 +926,13 @@ def collide(model: FlyModel, data: Data,
             poss.append(p)
             normals.append(nr)
             continue
+        has_mpr = True
+        if compact:
+            continue  # handled as one compact block below
         # Mixed-type MPR pairs: ONE merged broadphase + narrowphase sweep
         # for all groups (computed lazily on the first MPR key), sliced
-        # back into each group's static slot range. MPR multi-row
-        # manifolds are replicated rows (identical per pair).
+        # back into each group's static slot range (one slot per pair —
+        # manifold replication is folded into slot_nrep).
         if mpr_res is None:
             mpr_res = _mpr_merged(model, data, gcat)
         d_pairs, p_pairs, n_pairs, ranges_m = mpr_res
@@ -732,8 +951,15 @@ def collide(model: FlyModel, data: Data,
         poss.append(tp)
         normals.append(tn)
 
+    blocks = []
+    if has_cc:
+        blocks.append(_cc_compact(model, data, gcat))
+    if compact and has_mpr:
+        blocks.append(_mpr_merged(model, data, gcat, compact=True))
+
     return Contact(
         dist=jnp.concatenate(dists).astype(dtype),
         pos=jnp.concatenate(poss).astype(dtype),
         normal=jnp.concatenate(normals).astype(dtype),
+        blocks=tuple(blocks),
     )

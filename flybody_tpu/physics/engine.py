@@ -85,9 +85,12 @@ def fwd(model: FlyModel, data: Data,
     data, jnt_xanchor, jnt_xaxis = _kin.kinematics(model, data)
     data = _kin.com_pos(model, data, jnt_xanchor, jnt_xaxis)
     data = _kin.tendon(model, data)
-    con = _col.collide(model, data, terrain=terrain)
+    con = _col.collide(model, data, terrain=terrain, compact=True)
     if not use_contacts:
-        con = con.replace(dist=jnp.full_like(con.dist, 1e10))
+        con = con.replace(
+            dist=jnp.full_like(con.dist, 1e10),
+            blocks=tuple(b.replace(dist=jnp.full_like(b.dist, 1e10))
+                         for b in con.blocks))
 
     # Velocity stage.
     data = _sm.com_vel(model, data)

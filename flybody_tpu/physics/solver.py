@@ -176,29 +176,26 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
     lim_D = 1.0 / R
 
     # --- Contacts: select top-K by (dist - includemargin).
-    params = _col.slot_params(model, terrain)
-    score = con.dist - params.includemargin.astype(dtype)
+    # Static per-slot params table (includemargin, mu, solref, solimp,
+    # condim, diag/nrep, bodies, selfmask) — collision.efc_slot_table.
+    ucat_full = _col.efc_slot_table(model, terrain, dtype)  # (S_all, 14)
+    compact = len(con.blocks) > 0
+    if compact:
+        # Dense rows cover only the plane/sphere (+terrain) slots; the
+        # big pair families join the selection as pre-gathered compact
+        # blocks (params already batched).
+        dsid = np.asarray(_col.dense_slot_ids(meta, terrain))
+        ucat = ucat_full[dsid]
+        gid = jnp.asarray(np.asarray(dsid, np.float64), dtype)
+        P_m = sum(int(b.dist.shape[0]) for b in con.blocks)
+    else:
+        ucat = ucat_full
+        gid = jnp.asarray(
+            np.arange(ucat.shape[0], dtype=np.float64), dtype)
+        P_m = 0
+    score = con.dist - ucat[:, 0]
     S = score.shape[0]
-    k = min(ncon_max, S)
-
-    # Static per-slot constants, incl. precomputed contact-space diagonal
-    # invweight (inv1[b1] + inv1[b2] is a pure slot constant).
-    inv1 = jnp.asarray(model.body_invweight0).astype(dtype)[:, 0]
-    sbody1 = np.asarray(tb['slot_body1'])
-    sbody2 = np.asarray(tb['slot_body2'])
-    diag_slot = inv1[sbody1] + inv1[sbody2]  # (S,)
-    selfmask = _col.self_pair_mask(meta, terrain)
-    ucat = jnp.concatenate([
-        params.includemargin.astype(dtype)[:, None],
-        params.friction.astype(dtype)[:, :1],
-        params.solref.astype(dtype),
-        params.solimp.astype(dtype),
-        jnp.asarray(tb['slot_condim'], dtype)[:, None],
-        diag_slot[:, None],
-        jnp.asarray(sbody1, dtype)[:, None],
-        jnp.asarray(sbody2, dtype)[:, None],
-        jnp.asarray(selfmask, dtype)[:, None],
-    ], -1)  # (S, 14)
+    k = min(ncon_max, S + P_m)
     # Batched per-slot state [dist | pos | normal] (S, 7).
     bcat = jnp.concatenate([con.dist[:, None], con.pos, con.normal], -1)
 
@@ -208,10 +205,9 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
         # per-tile minimum, then top-k within those tiles' T*TILE
         # candidates. Exact for k <= T: any element of a non-selected
         # tile is >= that tile's min, which is >= T selected tile mins,
-        # i.e. >= T >= k other elements. Cuts the top_k from S=2223 to
-        # 1024 and shrinks the one-hot gather GEMM from (K, S) to
-        # (K, T*TILE) — the S-sized one-hot alone is ~2.3 GB of HBM at
-        # batch 8192.
+        # i.e. >= T >= k other elements. Cuts the top_k domain and
+        # shrinks the one-hot gather GEMM from (K, S) to (K, T*TILE) —
+        # an S-sized one-hot alone is GBs of HBM at batch 8192.
         pad_len = (-S) % TILE
         nt = (S + pad_len) // TILE
         # T = nt means all tiles are kept (still cheaper: the gathers and
@@ -226,11 +222,7 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
         # traced row gathers lower to per-row loops on TPU (~100 ms at
         # batch 8192, measured).
         oh_t = jax.nn.one_hot(tidx, nt, dtype=dtype)  # (T, nt)
-        cand = (oh_t @ tiles).reshape(T * TILE)
-        _, lsel = jax.lax.top_k(-cand, k)
-        oh_lt = jax.nn.one_hot(lsel // TILE, T, dtype=dtype)  # (k, T)
-        sel_tile = jnp.round(oh_lt @ tidx.astype(dtype)).astype(jnp.int32)
-        sel = sel_tile * TILE + (lsel % TILE).astype(jnp.int32)
+        cand_s = (oh_t @ tiles).reshape(T * TILE)
         # Tile-gather each table SEPARATELY (ucat is an unbatched model
         # constant — concatenating it into the batched table would
         # materialize a (B, S, 21) array), then pick rows with one
@@ -238,22 +230,35 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
         bpad_row = jnp.zeros((7,), dtype).at[0].set(1e10).at[6].set(1.0)
         bcat_p = jnp.concatenate(
             [bcat, jnp.broadcast_to(bpad_row, (pad_len, 7))])
-        bcat_t = (oh_t @ bcat_p.reshape(nt, TILE * 7)).reshape(
+        cand_b = (oh_t @ bcat_p.reshape(nt, TILE * 7)).reshape(
             T * TILE, 7)
         ucat_p = jnp.concatenate(
             [ucat, jnp.zeros((pad_len, ucat.shape[-1]), dtype)])
         nu = ucat.shape[-1]
-        ucat_t = (oh_t @ ucat_p.reshape(nt, TILE * nu)).reshape(
+        cand_u = (oh_t @ ucat_p.reshape(nt, TILE * nu)).reshape(
             T * TILE, nu)
-        oh = jax.nn.one_hot(lsel, T * TILE, dtype=dtype)
-        bsel = oh @ bcat_t
-        usel = oh @ ucat_t
+        gid_p = jnp.concatenate([gid, jnp.zeros((pad_len,), dtype)])
+        cand_g = (oh_t @ gid_p.reshape(nt, TILE)).reshape(T * TILE)
     else:
-        _, sel = jax.lax.top_k(-score, k)
-        sel = sel.astype(jnp.int32)
-        oh = jax.nn.one_hot(sel, S, dtype=dtype)  # (K, S)
-        bsel = oh @ bcat  # (K, 7)
-        usel = oh @ ucat
+        cand_s, cand_b, cand_u, cand_g = score, bcat, ucat, gid
+
+    if compact:
+        cand_s = jnp.concatenate(
+            [cand_s] + [b.dist - b.params[:, 0] for b in con.blocks])
+        cand_b = jnp.concatenate(
+            [cand_b] + [jnp.concatenate([b.dist[:, None], b.pos,
+                                         b.normal], -1)
+                        for b in con.blocks], axis=0)
+        cand_u = jnp.concatenate(
+            [cand_u] + [b.params for b in con.blocks], axis=0)
+        cand_g = jnp.concatenate([cand_g] + [b.idx for b in con.blocks])
+
+    _, lsel = jax.lax.top_k(-cand_s, k)
+    oh = jax.nn.one_hot(lsel, cand_s.shape[0], dtype=dtype)
+    bsel = oh @ cand_b
+    usel = oh @ cand_u
+    # Global slot ids (exact small ints through the f32 one-hot GEMM).
+    sel = jnp.round(oh @ cand_g).astype(jnp.int32)
 
     c_dist = bsel[:, 0]
     c_pos = bsel[:, 1:4]

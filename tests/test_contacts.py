@@ -128,7 +128,11 @@ def test_efc_row_parity(models, settled):
         # (~2e-6 cm) times the contact stiffness K (~3e6).
         assert abs(float(efc.con_aref[k][0]) - d.efc_aref[adr]) < (
             1e-4 * max(1.0, abs(d.efc_aref[adr])) + 15.0)
-        assert abs(float(efc.con_D[k]) - d.efc_D[adr]) < 1e-6 * d.efc_D[adr]
+        # Collapsed MPR manifolds carry nrep identical MuJoCo rows in one
+        # slot with D scaled by nrep (collision._pair_rows).
+        nrep = float(tb['slot_nrep'][sel[k]])
+        assert abs(float(efc.con_D[k]) / nrep
+                   - d.efc_D[adr]) < 1e-6 * d.efc_D[adr]
         checked += 1
     assert checked >= 5
 
@@ -243,9 +247,12 @@ def test_settled_constraint_force_parity(models, z0):
 
 
 def test_capsule_cylinder_manifold_rows(models, settled):
-    """Capsule-cylinder contacts emit MuJoCo's 3-row manifold (nativeccd
+    """Capsule-cylinder contacts carry MuJoCo's 3-row manifold (nativeccd
     deterministically produces 3 near-coincident points — measured
-    260/260 over a 3000-step rollout — tripling effective stiffness)."""
+    260/260 over a 3000-step rollout — tripling effective stiffness).
+    The three identical rows are collapsed into ONE slot with
+    slot_nrep=3 (D scaled 3x — exactly equivalent total force), so the
+    nrep-weighted active row count must match MuJoCo's row count."""
     fly, m = models
     qpos, _ = settled
     d = mujoco.MjData(m)
@@ -259,12 +266,40 @@ def test_capsule_cylinder_manifold_rows(models, settled):
     tb = collision.pair_tables(fly.meta)
     gt = np.array(fly.meta.geom_type)
     act = np.asarray(con.dist) < np.asarray(params.includemargin)
-    ours_cc = 0
+    ours_cc = 0.0
     for i in np.where(act)[0]:
         g1, g2 = tb['slot_geom1'][i], tb['slot_geom2'][i]
         if g1 >= 0 and {int(gt[g1]), int(gt[g2])} == {3, 5}:
-            ours_cc += 1
+            assert tb['slot_nrep'][i] == 3.0
+            ours_cc += tb['slot_nrep'][i]
     assert mj_cc > 0 and ours_cc == mj_cc, (ours_cc, mj_cc)
+
+
+def test_compact_collide_efc_equivalence(models, settled):
+    """collide(compact=True) + make_efc selects the same contact rows
+    (same global slot ids, same J/aref/D) as the dense scatter path."""
+    fly, m = models
+    qpos, qvel = settled
+    data = make_data(fly).replace(qpos=jnp.asarray(qpos),
+                                  qvel=jnp.asarray(qvel))
+    data = smooth.fwd_smooth(fly, data)
+    con_d = collision.collide(fly, data)
+    con_c = collision.collide(fly, data, compact=True)
+    assert len(con_c.blocks) == 2  # capsule-capsule + merged MPR
+    efc_d = solver.make_efc(fly, data, con_d, ncon_max=32)
+    efc_c = solver.make_efc(fly, data, con_c, ncon_max=32)
+    act_d = np.asarray(efc_d.con_active) > 0
+    act_c = np.asarray(efc_c.con_active) > 0
+    sel_d = np.asarray(efc_d.con_sel)[act_d]
+    sel_c = np.asarray(efc_c.con_sel)[act_c]
+    assert set(sel_d) == set(sel_c), (sorted(sel_d), sorted(sel_c))
+    od, oc = np.argsort(sel_d), np.argsort(sel_c)
+    for name in ['con_J', 'con_aref', 'con_D', 'con_pos', 'con_mu',
+                 'con_self', 'con_body1', 'con_body2']:
+        vd = np.asarray(getattr(efc_d, name))[act_d][od]
+        vc = np.asarray(getattr(efc_c, name))[act_c][oc]
+        np.testing.assert_allclose(vd, vc, rtol=1e-6, atol=1e-8,
+                                   err_msg=name)
 
 
 def test_settle_trajectory(models):
