@@ -273,9 +273,11 @@ def make_ls_pe(expand_iters: int, ls_iters: int):
         del axis_size
         from flybody_tpu.ops.dispatch import pallas_enabled
         if not all(in_batched) or not pallas_enabled('linesearch'):
+            axes = [0 if b else None for b in in_batched]
             out = jax.vmap(
                 lambda l, c, s: alpha_ref(l, c, s, expand_iters,
-                                          ls_iters))(lim, con, sc)
+                                          ls_iters), in_axes=axes)(
+                lim, con, sc)
             return out, True
         B = lim.shape[0]
         pad = (-B) % LANES

@@ -141,7 +141,9 @@ def make_gs_pe(iterations: int):
         from flybody_tpu.ops.dispatch import pallas_enabled
         on_tpu = pallas_enabled('noslip')
         if not all(in_batched) or not on_tpu:
-            out = jax.vmap(lambda *a: _reference(*a, iterations))(
+            axes = [0 if b else None for b in in_batched]
+            out = jax.vmap(lambda *a: _reference(*a, iterations),
+                           in_axes=axes)(
                 Jt, Pt, Ainv, aref_t, lim, use, x0, ft0)
             return out, (True, True)
         B, K, _, nv = Jt.shape  # (B, K, 2, nv)

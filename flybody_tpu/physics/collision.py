@@ -15,6 +15,7 @@ solver then gathers the top-K deepest contacts into its static-size rows.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -616,7 +617,7 @@ def _mpr_topp(model: FlyModel, data: Data, key, g1, g2,
 # Candidate budget for the MERGED MPR broadphase (all mixed-type pairs in
 # one top-P): a random-action walking rollout peaks at ~30 bound-active
 # MPR pairs across ALL groups, so 128 has >4x headroom.
-MPR_MERGED_TOP_P = 128
+MPR_MERGED_TOP_P = int(os.environ.get('FLYBODY_MPR_TOP_P', 128))
 
 
 @functools.lru_cache(maxsize=8)
@@ -678,7 +679,8 @@ def dense_slot_ids(meta: _s.Meta, terrain: bool = False) -> np.ndarray:
 # Candidate budget for the compacted capsule-capsule narrowphase: a
 # 3000-step random-ctrl rollout on the full fly peaks at 15 bound-active
 # capsule-capsule pairs (of 1039), so 128 has ~8x headroom.
-CC_TOP_P = 128
+# Env-overridable for A/B sweeps.
+CC_TOP_P = int(os.environ.get('FLYBODY_CC_TOP_P', 128))
 
 
 @functools.lru_cache(maxsize=8)
