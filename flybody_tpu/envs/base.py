@@ -195,8 +195,10 @@ class FruitFlyEnv:
         return data, jnp.mean(sens, axis=0)
 
     def _fk(self, data: Data) -> Data:
-        fkd, _, _ = kin.fwd_position_smooth(self.model, data)
-        return fkd
+        fkd, ja, jx = kin.fwd_position_smooth(self.model, data)
+        # Keep joint anchors/axes for reward features (walk imitation's
+        # joint_quat factor) so they are not recomputed with another FK.
+        return fkd.replace(jnt_xanchor=ja, jnt_xaxis=jx)
 
     # -------------------------------------------------------------- obs lib
 

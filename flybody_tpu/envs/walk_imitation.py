@@ -183,7 +183,9 @@ class WalkImitationEnv(envbase.FruitFlyEnv):
         return factors
 
     def _joint_axes(self, fkd):
-        """World axes of mocap joints (recomputed FK anchors/axes)."""
+        """World axes of mocap joints (from the position stage)."""
+        if fkd.jnt_xaxis is not None:
+            return fkd, fkd.jnt_xanchor, fkd.jnt_xaxis[self._mocap_jnt]
         from flybody_tpu.physics import kinematics as kin
         data2, xanchor, xaxis = kin.kinematics(self.model,
                                                fkd.replace())

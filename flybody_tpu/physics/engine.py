@@ -81,10 +81,8 @@ def fwd(model: FlyModel, data: Data,
     dtype = data.qpos.dtype
     terrain_on = terrain is not None
 
-    # Position stage.
-    data, jnt_xanchor, jnt_xaxis = _kin.kinematics(model, data)
-    data = _kin.com_pos(model, data, jnt_xanchor, jnt_xaxis)
-    data = _kin.tendon(model, data)
+    # Position stage (one fused pallas kernel on TPU).
+    data, jnt_xanchor, jnt_xaxis = _kin.fwd_position_smooth(model, data)
     con = _col.collide(model, data, terrain=terrain, compact=True)
     if not use_contacts:
         con = con.replace(

@@ -312,7 +312,24 @@ def tendon(model: FlyModel, data: Data) -> Data:
 
 def fwd_position_smooth(model: FlyModel, data: Data) -> tuple[Data, jax.Array,
                                                               jax.Array]:
-    """Position-stage pipeline: kinematics -> com_pos -> tendon."""
+    """Position-stage pipeline: kinematics -> com_pos -> tendon.
+
+    On TPU under vmap the whole stage runs as ONE fused pallas kernel
+    (ops/pos_stage.py); otherwise (or for unsupported models) the XLA
+    stages below run."""
+    from flybody_tpu.ops import pos_stage as _ps
+    f = _ps.make_pos_stage_pe(model)
+    if f is not None:
+        (xpos, xquat, xmat, xipos, ximat, geom_xpos, geom_xmat,
+         site_xpos, site_xmat, subtree_com, cinert, cdof, jnt_xanchor,
+         jnt_xaxis, ten_length) = f(data.qpos)
+        data = data.replace(
+            xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos, ximat=ximat,
+            geom_xpos=geom_xpos, geom_xmat=geom_xmat,
+            site_xpos=site_xpos, site_xmat=site_xmat,
+            subtree_com=subtree_com, cinert=cinert, cdof=cdof,
+            ten_length=ten_length)
+        return data, jnt_xanchor, jnt_xaxis
     data, jnt_xanchor, jnt_xaxis = kinematics(model, data)
     data = com_pos(model, data, jnt_xanchor, jnt_xaxis)
     data = tendon(model, data)

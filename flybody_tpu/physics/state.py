@@ -41,6 +41,8 @@ class Data:
     site_xpos: Optional[jax.Array] = None  # (nsite, 3)
     site_xmat: Optional[jax.Array] = None  # (nsite, 3, 3)
     subtree_com: Optional[jax.Array] = None  # (nbody, 3)
+    jnt_xanchor: Optional[jax.Array] = None  # (njnt, 3)
+    jnt_xaxis: Optional[jax.Array] = None  # (njnt, 3)
 
     # CoM-based quantities.
     cdof: Optional[jax.Array] = None  # (nv, 6)

@@ -401,3 +401,44 @@ def test_fused_newton_reuse_step_interpret():
     for nm, o, r in zip(names, out3, ref3):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    rtol=0, atol=2e-3, err_msg=nm)
+
+
+def test_pos_stage_kernel_matches_reference():
+    """Fused position-stage kernel (interpret) == XLA pipeline on the
+    walking model: all 15 outputs (poses, frames, com, cinert, cdof,
+    joint anchors/axes, tendons) to f32 precision."""
+    import jax.numpy as jnp
+    from flybody_tpu.envs import fly_envs
+    from flybody_tpu.ops import pos_stage
+
+    model = fly_envs._walking_model(False, True, 0.01)
+    model = jax.tree.map(
+        lambda x: (jnp.asarray(x, jnp.float32)
+                   if hasattr(x, 'dtype') and
+                   jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                   else x), model)
+    B = 8
+    rng = np.random.RandomState(0)
+    qpos = np.tile(np.asarray(model.qpos0, np.float32)[None], (B, 1))
+    qpos[:, :3] += 0.1 * rng.randn(B, 3).astype(np.float32)
+    qpos[:, 3:7] += 0.2 * rng.randn(B, 4).astype(np.float32)
+    qpos[:, 3:7] /= np.linalg.norm(qpos[:, 3:7], axis=1, keepdims=True)
+    qpos[:, 7:] += 0.2 * rng.randn(B, qpos.shape[1] - 7).astype(
+        np.float32)
+    qpos = jnp.asarray(qpos)
+
+    ref = jax.vmap(pos_stage.make_pos_stage_pe(model))(qpos)
+    f_int = pos_stage.make_pos_stage_pe(model, interpret=True)
+    assert f_int is not None
+    out = jax.vmap(f_int)(qpos)
+    names = ['xpos', 'xquat', 'xmat', 'xipos', 'ximat', 'geom_xpos',
+             'geom_xmat', 'site_xpos', 'site_xmat', 'subtree_com',
+             'cinert', 'cdof', 'jnt_xanchor', 'jnt_xaxis', 'ten_length']
+    for nm, o, r in zip(names, out, ref):
+        o, r = np.asarray(o), np.asarray(r)
+        scale = max(1e-6, float(np.max(np.abs(r))))
+        assert np.max(np.abs(o - r)) / scale < 3e-6, nm
+
+    # Ball-joint model is unsupported -> falls back to the XLA path.
+    ball = fly_envs._ball_model(False, True)
+    assert pos_stage.make_pos_stage_pe(ball) is None

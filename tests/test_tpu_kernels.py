@@ -185,3 +185,32 @@ def test_compiled_engine_step_finite():
         d = step(d)
     assert np.isfinite(np.asarray(d.qpos)).all()
     assert np.isfinite(np.asarray(d.qvel)).all()
+
+
+def test_compiled_pos_stage_kernel():
+    """Fused position-stage kernel compiled on the real accelerator
+    matches the XLA reference pipeline."""
+    from flybody_tpu.envs import fly_envs
+    from flybody_tpu.ops import pos_stage
+    model = fly_envs._walking_model(False, True, 0.01)
+    model = jax.tree.map(
+        lambda x: (jnp.asarray(x, jnp.float32)
+                   if hasattr(x, 'dtype') and
+                   jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                   else jnp.asarray(x)), model)
+    B = 256
+    rng = np.random.RandomState(0)
+    qpos = np.tile(np.asarray(model.qpos0, np.float32)[None], (B, 1))
+    qpos += 0.1 * rng.randn(B, qpos.shape[1]).astype(np.float32)
+    qpos = jnp.asarray(qpos)
+    f = pos_stage.make_pos_stage_pe(model)
+    assert f is not None
+    out = jax.jit(jax.vmap(f))(qpos)  # pallas path on TPU
+    ref = jax.vmap(lambda q: pos_stage._ref_outputs(model, q))(qpos)
+    names = ['xpos', 'xquat', 'xmat', 'xipos', 'ximat', 'geom_xpos',
+             'geom_xmat', 'site_xpos', 'site_xmat', 'subtree_com',
+             'cinert', 'cdof', 'jnt_xanchor', 'jnt_xaxis', 'ten_length']
+    for nm, o, r in zip(names, out, ref):
+        o, r = np.asarray(o), np.asarray(r)
+        scale = max(1e-6, float(np.max(np.abs(r))))
+        assert np.max(np.abs(o - r)) / scale < 1e-5, nm
