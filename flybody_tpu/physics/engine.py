@@ -90,16 +90,32 @@ def fwd(model: FlyModel, data: Data,
             blocks=tuple(b.replace(dist=jnp.full_like(b.dist, 1e10))
                          for b in con.blocks))
 
-    # Velocity stage.
-    data = _sm.com_vel(model, data)
-    data = _sm.tendon_vel(model, data)
+    # Velocity + force stages: ONE fused pallas kernel on TPU
+    # (ops/force_stage.py) covering com_vel/tendon_vel/CRB(packed)/RNE/
+    # passive/fluid/actuation; XLA stage chain otherwise.
+    from flybody_tpu.ops import force_stage as _fs
+    ff = _fs.make_force_stage_pe(model)
+    if ff is not None:
+        (cvel, cdof_dot, ten_velocity, qfrc_bias, qfrc_passive,
+         qfrc_fluid, qfrc_actuator, actuator_force, act_dot, Mp) = ff(
+            data.qpos, data.qvel, data.act, data.ctrl, data.cdof,
+            data.cinert, data.xipos, data.ximat, data.subtree_com,
+            data.geom_xpos, data.geom_xmat, data.ten_length)
+        data = data.replace(
+            cvel=cvel, cdof_dot=cdof_dot, ten_velocity=ten_velocity,
+            qfrc_bias=qfrc_bias, qfrc_passive=qfrc_passive,
+            qfrc_fluid=qfrc_fluid, qfrc_actuator=qfrc_actuator,
+            actuator_force=actuator_force, act_dot=act_dot, qM=Mp)
+        efc = _sol.make_efc(model, data, con, ncon_max=ncon_max,
+                            terrain=terrain_on)
+    else:
+        data = _sm.com_vel(model, data)
+        data = _sm.tendon_vel(model, data)
+        efc = _sol.make_efc(model, data, con, ncon_max=ncon_max,
+                            terrain=terrain_on)
+        data = _sm.actuation(model, data)
 
-    # Constraint rows (need qvel for aref).
-    efc = _sol.make_efc(model, data, con, ncon_max=ncon_max,
-                        terrain=terrain_on)
-
-    # Actuation with adhesion.
-    data = _sm.actuation(model, data)
+    # Adhesion transmission (needs the selected contact rows).
     adh_u, adh_mom = adhesion_moment(model, efc,
                                      (efc.con_body1, efc.con_body2))
     if len(adh_u):
@@ -107,16 +123,18 @@ def fwd(model: FlyModel, data: Data,
         qfrc_adh = adh_mom.T @ adh_force
         data = data.replace(qfrc_actuator=data.qfrc_actuator + qfrc_adh)
 
-    # Remaining smooth forces. With the block-arrow backbone the mass
-    # matrix stays in packed form end-to-end (crb -> factor -> Newton
-    # M-products -> euler); dense (nv, nv) M is never materialized.
-    if _sm.arrow_ops(meta) is not None:
-        data = _sm.crb_packed(model, data)
-    else:
-        data = _sm.crb(model, data)
-    data = _sm.rne(model, data)
-    data = _sm.passive(model, data)
-    data = _fluid.fluid(model, data)
+    if ff is None:
+        # Remaining smooth forces. With the block-arrow backbone the
+        # mass matrix stays in packed form end-to-end (crb -> factor ->
+        # Newton M-products -> euler); dense (nv, nv) M is never
+        # materialized.
+        if _sm.arrow_ops(meta) is not None:
+            data = _sm.crb_packed(model, data)
+        else:
+            data = _sm.crb(model, data)
+        data = _sm.rne(model, data)
+        data = _sm.passive(model, data)
+        data = _fluid.fluid(model, data)
 
     qfrc_applied = (data.qfrc_applied if data.qfrc_applied is not None
                     else jnp.zeros_like(data.qvel))

@@ -442,3 +442,49 @@ def test_pos_stage_kernel_matches_reference():
     # Ball-joint model is unsupported -> falls back to the XLA path.
     ball = fly_envs._ball_model(False, True)
     assert pos_stage.make_pos_stage_pe(ball) is None
+
+
+def test_force_stage_kernel_matches_reference():
+    """Fused velocity+force-stage kernel (interpret) == XLA stages on
+    walking AND flight models (the latter exercises the ellipsoid wing
+    fluid and the stateless-actuator na=0 path)."""
+    import jax.numpy as jnp
+    from flybody_tpu.envs import fly_envs
+    from flybody_tpu.ops import force_stage, pos_stage
+
+    for model in [fly_envs._walking_model(False, True, 0.01),
+                  fly_envs._flight_model(True)]:
+        model = jax.tree.map(
+            lambda x: (jnp.asarray(x, jnp.float32)
+                       if hasattr(x, 'dtype') and
+                       jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                       else x), model)
+        B = 8
+        rng = np.random.RandomState(0)
+        meta = model.meta
+        qpos = np.tile(np.asarray(model.qpos0, np.float32)[None], (B, 1))
+        qpos += 0.1 * rng.randn(B, meta.nq).astype(np.float32)
+        qvel = 2.0 * rng.randn(B, meta.nv).astype(np.float32)
+        act = 0.2 * rng.randn(B, meta.na).astype(np.float32)
+        ctrl = 0.3 * rng.randn(B, meta.nu).astype(np.float32)
+        qpos, qvel, act, ctrl = map(jnp.asarray,
+                                    (qpos, qvel, act, ctrl))
+        ps = jax.vmap(pos_stage.make_pos_stage_pe(model))(qpos)
+        (xpos, xquat, xmat, xipos, ximat, gpos, gmat, spos, smat, scom,
+         cinert, cdof, janc, jaxw, tenl) = ps
+        args = (qpos, qvel, act, ctrl, cdof, cinert, xipos, ximat,
+                scom, gpos, gmat, tenl)
+        f_int = force_stage.make_force_stage_pe(model, interpret=True)
+        assert f_int is not None
+        ref = jax.vmap(force_stage.make_force_stage_pe(model))(*args)
+        out = jax.vmap(f_int)(*args)
+        names = ['cvel', 'cdof_dot', 'ten_velocity', 'qfrc_bias',
+                 'qfrc_passive', 'qfrc_fluid', 'qfrc_actuator',
+                 'actuator_force', 'act_dot', 'qM']
+        for nm, o, r in zip(names, out, ref):
+            o, r = np.asarray(o), np.asarray(r)
+            if o.size == 0:
+                assert r.size == 0
+                continue
+            scale = max(1e-6, float(np.max(np.abs(r))))
+            assert np.max(np.abs(o - r)) / scale < 3e-6, nm

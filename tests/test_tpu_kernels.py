@@ -214,3 +214,42 @@ def test_compiled_pos_stage_kernel():
         o, r = np.asarray(o), np.asarray(r)
         scale = max(1e-6, float(np.max(np.abs(r))))
         assert np.max(np.abs(o - r)) / scale < 1e-5, nm
+
+
+def test_compiled_force_stage_kernel():
+    """Fused velocity+force-stage kernel compiled on the real
+    accelerator matches the XLA reference stages."""
+    from flybody_tpu.envs import fly_envs
+    from flybody_tpu.ops import force_stage, pos_stage
+    model = fly_envs._walking_model(False, True, 0.01)
+    model = jax.tree.map(
+        lambda x: (jnp.asarray(x, jnp.float32)
+                   if hasattr(x, 'dtype') and
+                   jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                   else jnp.asarray(x)), model)
+    B = 256
+    rng = np.random.RandomState(0)
+    meta = model.meta
+    qpos = np.tile(np.asarray(model.qpos0, np.float32)[None], (B, 1))
+    qpos += 0.1 * rng.randn(B, meta.nq).astype(np.float32)
+    qvel = jnp.asarray(0.5 * rng.randn(B, meta.nv).astype(np.float32))
+    act = jnp.asarray(0.2 * rng.randn(B, meta.na).astype(np.float32))
+    ctrl = jnp.asarray(0.3 * rng.randn(B, meta.nu).astype(np.float32))
+    qpos = jnp.asarray(qpos)
+    ps = jax.jit(jax.vmap(pos_stage.make_pos_stage_pe(model)))(qpos)
+    (xpos, xquat, xmat, xipos, ximat, gpos, gmat, spos, smat, scom,
+     cinert, cdof, janc, jaxw, tenl) = ps
+    args = (qpos, qvel, act, ctrl, cdof, cinert, xipos, ximat, scom,
+            gpos, gmat, tenl)
+    f = force_stage.make_force_stage_pe(model)
+    out = jax.jit(jax.vmap(f))(*args)
+    ref = jax.vmap(lambda *a: force_stage._ref_outputs(model, *a))(*args)
+    names = ['cvel', 'cdof_dot', 'ten_velocity', 'qfrc_bias',
+             'qfrc_passive', 'qfrc_fluid', 'qfrc_actuator',
+             'actuator_force', 'act_dot', 'qM']
+    for nm, o, r in zip(names, out, ref):
+        o, r = np.asarray(o), np.asarray(r)
+        if o.size == 0:
+            continue
+        scale = max(1e-6, float(np.max(np.abs(r))))
+        assert np.max(np.abs(o - r)) / scale < 1e-4, nm
