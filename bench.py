@@ -123,7 +123,7 @@ def main_with_fallback():
     progressively more kernels disabled so the driver always records a
     number instead of a crash."""
     import traceback
-    for disable in (None, 'posstage,forcestage', 'all'):
+    for disable in (None, 'posstage,forcestage,sensstage', 'all'):
         if disable is not None:
             os.environ['FLYBODY_NO_PALLAS'] = disable
             print(f'# retrying with FLYBODY_NO_PALLAS={disable}',

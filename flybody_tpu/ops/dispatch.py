@@ -20,7 +20,7 @@ def _disabled() -> frozenset[str]:
         return frozenset()
     if v == 'all':
         return frozenset({'chol', 'noslip', 'mpr', 'linesearch',
-                          'arrow', 'newton', 'narrow', 'posstage', 'forcestage'})
+                          'arrow', 'newton', 'narrow', 'posstage', 'forcestage', 'sensstage'})
     return frozenset(p.strip() for p in v.split(',') if p.strip())
 
 

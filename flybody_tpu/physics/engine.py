@@ -169,12 +169,26 @@ def fwd(model: FlyModel, data: Data,
     data = data.replace(qacc=qacc, qfrc_constraint=qfrc_con, contact=con,
                         self_contact_force=self_force)
 
-    # Sensors (acceleration stage needs qacc and contact forces).
+    # Sensors (acceleration stage needs qacc and contact forces); one
+    # fused pallas kernel on TPU (ops/sens_stage.py), XLA otherwise.
     from flybody_tpu.physics import sensors as _sens
     if meta.nsensor:
-        data = data.replace(
-            sensordata=_sens.sensordata(model, data, efc, f_c,
-                                        terrain=terrain_on))
+        fsens = None
+        if data.xfrc_applied is None:
+            from flybody_tpu.ops import sens_stage as _ss
+            fsens = _ss.make_sens_stage_pe(model)
+        if fsens is not None:
+            cb12 = jnp.stack([efc.con_body1.astype(dtype),
+                              efc.con_body2.astype(dtype)])
+            sd = fsens(data.qacc, data.qvel, data.cvel, data.cdof,
+                       data.cdof_dot, data.cinert, data.site_xpos,
+                       data.site_xmat, data.subtree_com, efc.con_xpos,
+                       efc.con_normal, cb12, efc.con_active, f_c)
+            data = data.replace(sensordata=sd)
+        else:
+            data = data.replace(
+                sensordata=_sens.sensordata(model, data, efc, f_c,
+                                            terrain=terrain_on))
     else:
         data = data.replace(sensordata=jnp.zeros((0,), dtype))
     return data

@@ -488,3 +488,52 @@ def test_force_stage_kernel_matches_reference():
                 continue
             scale = max(1e-6, float(np.max(np.abs(r))))
             assert np.max(np.abs(o - r)) / scale < 3e-6, nm
+
+
+def test_sens_stage_kernel_matches_reference():
+    """Fused sensor kernel (interpret) == physics/sensors.py on a
+    contact-rich pose (touch/force sensors see real contact wrenches)."""
+    import jax.numpy as jnp
+    from flybody_tpu.envs import fly_envs
+    from flybody_tpu.ops import sens_stage
+    from flybody_tpu.physics import collision, smooth, solver
+    from flybody_tpu.physics.state import make_data
+
+    model = fly_envs._walking_model(False, True, 0.01)
+    model = jax.tree.map(
+        lambda x: (jnp.asarray(x, jnp.float32)
+                   if hasattr(x, 'dtype') and
+                   jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                   else x), model)
+    B = 8
+    rng = np.random.RandomState(0)
+    meta = model.meta
+    qpos = np.tile(np.asarray(model.qpos0, np.float32)[None], (B, 1))
+    qpos[:, 2] = 0.1
+    qpos[:, 7:] += 0.1 * rng.randn(B, meta.nq - 7).astype(np.float32)
+    qvel = 0.3 * rng.randn(B, meta.nv).astype(np.float32)
+
+    def prep(qp, qv):
+        d = make_data(model).replace(qpos=qp, qvel=qv)
+        d = smooth.fwd_smooth(model, d)
+        con = collision.collide(model, d)
+        efc = solver.make_efc(model, d, con, ncon_max=32)
+        d, a_free = smooth.factor_solve_m(model, d, d.qfrc_smooth)
+        qacc, _, _, f_c = solver.solve(model, d, efc, a_free,
+                                       iterations=15, ls_iterations=10)
+        return d.replace(qacc=qacc), efc, f_c
+
+    ds, efcs, fcs = jax.vmap(prep)(jnp.asarray(qpos), jnp.asarray(qvel))
+    cb12 = jnp.stack([efcs.con_body1.astype(jnp.float32),
+                      efcs.con_body2.astype(jnp.float32)], axis=1)
+    args = (ds.qacc, ds.qvel, ds.cvel, ds.cdof, ds.cdof_dot, ds.cinert,
+            ds.site_xpos, ds.site_xmat, ds.subtree_com, efcs.con_xpos,
+            efcs.con_normal, cb12, efcs.con_active, fcs)
+    assert float(np.asarray(efcs.con_active).sum()) > 50  # contact-rich
+    f_int = sens_stage.make_sens_stage_pe(model, interpret=True)
+    assert f_int is not None
+    ref = jax.vmap(sens_stage.make_sens_stage_pe(model))(*args)
+    out = jax.vmap(f_int)(*args)
+    o, r = np.asarray(out), np.asarray(ref)
+    scale = np.maximum(1e-6, np.abs(r).max(0))
+    assert float((np.abs(o - r) / scale).max()) < 3e-6
