@@ -805,6 +805,20 @@ def noslip(model: FlyModel, data: Data, efc: EfcRows, qacc: jax.Array,
     if max_contacts is not None and max_contacts < K:
         K = max_contacts
     Jt = efc.con_J[:K, 1:, :]  # (K, 2, nv) tangent rows
+    aref_t_f = efc.con_aref[:K, 1:]
+    use_f = (efc.con_active[:K] * efc.con_frictional[:K]) > 0
+    lim_f = jnp.maximum(efc.con_mu[:K] * f_c[:K, 0], 0.0)
+    if data.qLD is not None and data.qLD.ndim == 3:
+        # Packed block-arrow factor: ONE fused launch does the
+        # M^{-1} J_t^T solve, the 2x2 block inverses, and the GS sweeps.
+        from flybody_tpu.ops import arrow as _arrow
+        from flybody_tpu.ops import noslip_gs as _ngs
+        part = _arrow.build_partition(model.meta)
+        fn = _ngs.make_noslip_fused_pe(part, iterations)
+        x, ft = fn(data.qLD, Jt, aref_t_f, lim_f, use_f.astype(dtype),
+                   qacc, f_c[:K, 1:])
+        ft_full = jnp.concatenate([ft, f_c[K:, 1:]], axis=0)
+        return x, jnp.concatenate([f_c[:, :1], ft_full], axis=1)
     # P_k = M^{-1} J_t_k^T via the cached Cholesky factor.
     from flybody_tpu.physics import smooth as _sm
     Pt = _sm.solve_m(model, data, Jt.reshape(K * 2, -1).T)  # (nv, 2K)

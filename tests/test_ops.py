@@ -537,3 +537,53 @@ def test_sens_stage_kernel_matches_reference():
     o, r = np.asarray(out), np.asarray(ref)
     scale = np.maximum(1e-6, np.abs(r).max(0))
     assert float((np.abs(o - r) / scale).max()) < 3e-6
+
+
+def test_fused_noslip_matches_reference():
+    """Fused noslip (packed-factor solve + Ainv + GS in one launch,
+    interpret) == the chained reference path."""
+    import jax.numpy as jnp
+    from flybody_tpu.envs import fly_envs
+    from flybody_tpu.ops import arrow, noslip_gs
+    from flybody_tpu.physics import collision, smooth, solver
+    from flybody_tpu.physics.state import make_data
+
+    model = fly_envs._walking_model(False, True, 0.01)
+    model = jax.tree.map(
+        lambda x: (jnp.asarray(x, jnp.float32)
+                   if hasattr(x, 'dtype') and
+                   jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                   else x), model)
+    B = 8
+    rng = np.random.RandomState(0)
+    meta = model.meta
+    part = arrow.build_partition(meta)
+    qpos = np.tile(np.asarray(model.qpos0, np.float32)[None], (B, 1))
+    qpos[:, 2] = 0.1
+    qpos[:, 7:] += 0.1 * rng.randn(B, meta.nq - 7).astype(np.float32)
+    qvel = 0.3 * rng.randn(B, meta.nv).astype(np.float32)
+
+    def prep(qp, qv):
+        d = make_data(model).replace(qpos=qp, qvel=qv)
+        d = smooth.fwd_smooth(model, d)
+        con = collision.collide(model, d)
+        efc = solver.make_efc(model, d, con, ncon_max=32)
+        d, a_free = smooth.factor_solve_m(model, d, d.qfrc_smooth)
+        qacc, _, _, f_c = solver.solve(model, d, efc, a_free,
+                                       iterations=15, ls_iterations=10)
+        return d, efc, qacc, f_c
+
+    ds, efcs, qaccs, fcs = jax.vmap(prep)(jnp.asarray(qpos),
+                                          jnp.asarray(qvel))
+    K = 16
+    args = (ds.qLD, efcs.con_J[:, :K, 1:, :], efcs.con_aref[:, :K, 1:],
+            jnp.maximum(efcs.con_mu[:, :K] * fcs[:, :K, 0], 0.0),
+            efcs.con_active[:, :K] * efcs.con_frictional[:, :K],
+            qaccs, fcs[:, :K, 1:])
+    ref = jax.vmap(noslip_gs.make_noslip_fused_pe(part, 3))(*args)
+    out = jax.vmap(noslip_gs.make_noslip_fused_pe(
+        part, 3, interpret=True))(*args)
+    for nm, o, r in zip(['x', 'ft'], out, ref):
+        o, r = np.asarray(o), np.asarray(r)
+        scale = max(1e-6, float(np.abs(r).max()))
+        assert float(np.abs(o - r).max()) / scale < 3e-6, nm
