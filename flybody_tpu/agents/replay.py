@@ -9,10 +9,12 @@ the training loop (see flybody_tpu/train/train_dmpo.py).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import functools
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class Transition(NamedTuple):
@@ -29,25 +31,59 @@ class ReplayState(NamedTuple):
     size: jax.Array  # int32
     inserts: jax.Array  # int64 counters for the rate ledger
     samples: jax.Array
+    # Optional uint8 side-banks for pixel observation dims (vision
+    # tasks: the 2x32x32 eye images are 0..255 grayscale; storing them
+    # as uint8 cuts replay HBM ~3x). When used, data.obs/next_obs hold
+    # only the float dims; insert/sample quantize/reassemble.
+    obs_u8: Any = None  # (capacity, n_u8) uint8
+    next_obs_u8: Any = None
+
+
+@functools.lru_cache(maxsize=16)
+def _u8_split(obs_dim: int, u8_idx: tuple):
+    u8 = np.asarray(u8_idx, np.int64)
+    f32 = np.setdiff1d(np.arange(obs_dim), u8)
+    perm = np.concatenate([f32, u8])
+    inv = np.empty(obs_dim, np.int64)
+    inv[perm] = np.arange(obs_dim)
+    return f32, u8, inv
+
+
+def encode_obs(obs, obs_dim: int, u8_idx: tuple):
+    f32i, u8i, _ = _u8_split(obs_dim, u8_idx)
+    x8 = jnp.clip(jnp.round(obs[..., u8i]), 0, 255).astype(jnp.uint8)
+    return obs[..., f32i], x8
+
+
+def decode_obs(obs_f, obs_u8, obs_dim: int, u8_idx: tuple, dtype):
+    _, _, inv = _u8_split(obs_dim, u8_idx)
+    full = jnp.concatenate([obs_f, obs_u8.astype(dtype)], axis=-1)
+    return full[..., inv]
 
 
 def init(capacity: int, obs_dim: int, act_dim: int,
-         dtype=jnp.float32) -> ReplayState:
+         dtype=jnp.float32, u8_idx: tuple = ()) -> ReplayState:
+    n_u8 = len(u8_idx)
+    nf = obs_dim - n_u8
     data = Transition(
-        obs=jnp.zeros((capacity, obs_dim), dtype),
+        obs=jnp.zeros((capacity, nf), dtype),
         action=jnp.zeros((capacity, act_dim), dtype),
         reward=jnp.zeros((capacity,), dtype),
         discount=jnp.zeros((capacity,), dtype),
-        next_obs=jnp.zeros((capacity, obs_dim), dtype),
+        next_obs=jnp.zeros((capacity, nf), dtype),
     )
+    u8 = (jnp.zeros((capacity, n_u8), jnp.uint8) if n_u8 else None)
+    u8b = (jnp.zeros((capacity, n_u8), jnp.uint8) if n_u8 else None)
     return ReplayState(data=data,
                        insert_pos=jnp.zeros((), jnp.int32),
                        size=jnp.zeros((), jnp.int32),
                        inserts=jnp.zeros((), jnp.int32),
-                       samples=jnp.zeros((), jnp.int32))
+                       samples=jnp.zeros((), jnp.int32),
+                       obs_u8=u8, next_obs_u8=u8b)
 
 
-def insert(state: ReplayState, batch: Transition) -> ReplayState:
+def insert(state: ReplayState, batch: Transition,
+           u8_idx: tuple = ()) -> ReplayState:
     """Insert a batch of transitions (FIFO ring semantics).
 
     The write is a contiguous dynamic_update_slice (TPU-friendly: large
@@ -56,6 +92,13 @@ def insert(state: ReplayState, batch: Transition) -> ReplayState:
     """
     capacity = state.data.obs.shape[0]
     n = batch.obs.shape[0]
+    u8_banks = {}
+    if state.obs_u8 is not None:
+        obs_dim = batch.obs.shape[-1]
+        obs_f, obs_8 = encode_obs(batch.obs, obs_dim, u8_idx)
+        nxt_f, nxt_8 = encode_obs(batch.next_obs, obs_dim, u8_idx)
+        batch = batch._replace(obs=obs_f, next_obs=nxt_f)
+        u8_banks = dict(obs_8=obs_8, nxt_8=nxt_8)
     if capacity % n != 0:
         raise ValueError(
             f'replay capacity ({capacity}) must be a multiple of the '
@@ -68,19 +111,33 @@ def insert(state: ReplayState, batch: Transition) -> ReplayState:
         return jax.lax.dynamic_update_slice(arr, new, start)
 
     data = Transition(*[upd(a, b) for a, b in zip(state.data, batch)])
+    obs_u8, next_obs_u8 = state.obs_u8, state.next_obs_u8
+    if u8_banks:
+        obs_u8 = upd(obs_u8, u8_banks['obs_8'])
+        next_obs_u8 = upd(next_obs_u8, u8_banks['nxt_8'])
     return ReplayState(
         data=data,
         insert_pos=(state.insert_pos + n) % capacity,
         size=jnp.minimum(state.size + n, capacity),
         inserts=state.inserts + n,
-        samples=state.samples)
+        samples=state.samples,
+        obs_u8=obs_u8, next_obs_u8=next_obs_u8)
 
 
-def sample(state: ReplayState, rng, batch_size: int):
+def sample(state: ReplayState, rng, batch_size: int,
+           u8_idx: tuple = ()):
     """Uniform sample of `batch_size` transitions."""
     idx = jax.random.randint(rng, (batch_size,), 0,
                              jnp.maximum(state.size, 1))
     batch = Transition(*[arr[idx] for arr in state.data])
+    if state.obs_u8 is not None:
+        dtype = batch.obs.dtype
+        obs_dim = batch.obs.shape[-1] + state.obs_u8.shape[-1]
+        batch = batch._replace(
+            obs=decode_obs(batch.obs, state.obs_u8[idx], obs_dim,
+                           u8_idx, dtype),
+            next_obs=decode_obs(batch.next_obs, state.next_obs_u8[idx],
+                                obs_dim, u8_idx, dtype))
     new_state = state._replace(samples=state.samples + batch_size)
     return new_state, batch
 

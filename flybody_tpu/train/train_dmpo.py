@@ -67,6 +67,18 @@ class DMPOTrainer:
         self.action_dim = env.tables.num_actions
         dtype = jnp.asarray(env.model.qpos0).dtype
         self.dtype = dtype
+        # Pixel observation dims stored as uint8 in replay (the 0..255
+        # grayscale eye images dominate vision obs; f32 storage of
+        # obs+next_obs is ~18 KB/transition and OOMs HBM at scale).
+        self.u8_idx = ()
+        if config.networks == 'vision':
+            off, idxs = 0, []
+            for n in sorted(ts_shape):
+                sz = int(np.prod(ts_shape[n].shape))
+                if n.endswith('left_eye') or n.endswith('right_eye'):
+                    idxs.extend(range(off, off + sz))
+                off += sz
+            self.u8_idx = tuple(idxs)
         policy = critic = None
         if config.networks == 'vision':
             from flybody_tpu.agents import networks_vis
@@ -95,7 +107,8 @@ class DMPOTrainer:
         r1, r2, r3 = jax.random.split(rng, 3)
         learner = self.learner.init(r1)
         replay = replay_lib.init(self.replay_capacity, self.obs_dim,
-                                 self.action_dim, self.dtype)
+                                 self.action_dim, self.dtype,
+                                 u8_idx=self.u8_idx)
         env_rngs = jax.random.split(r2, cfg.num_envs)
         env_states, ts = jax.vmap(self.env.reset)(env_rngs)
         obs_flat = nets_lib.batch_concat(ts.observation, batched=True)
@@ -168,7 +181,8 @@ class DMPOTrainer:
         trans = replay_lib.n_step_transitions(
             obs_seq, next_obs_seq, act_seq, rew_seq, disc_seq, done_seq,
             cfg.dmpo.n_step, cfg.dmpo.discount)
-        replay = replay_lib.insert(state.replay, trans)
+        replay = replay_lib.insert(state.replay, trans,
+                                   u8_idx=self.u8_idx)
 
         min_size = max(cfg.dmpo.batch_size,
                        int(cfg.replay_capacity * cfg.min_replay_fraction))
@@ -179,7 +193,8 @@ class DMPOTrainer:
         # mutates them; only the sample counter advances).
         rngs = jax.random.split(r_learn, self.learner_steps)
         batches = jax.vmap(
-            lambda r: replay_lib.sample(replay, r, cfg.dmpo.batch_size)[1]
+            lambda r: replay_lib.sample(replay, r, cfg.dmpo.batch_size,
+                                        u8_idx=self.u8_idx)[1]
         )(rngs)
         replay = replay._replace(
             samples=replay.samples + self.learner_steps

@@ -123,3 +123,43 @@ def test_ring_buffer_insert_sample():
     _, sampled = replay_lib.sample(state, jax.random.PRNGKey(0), 16)
     assert sampled.obs.shape == (16, 3)
     assert np.isfinite(np.asarray(sampled.reward)).all()
+
+
+def test_replay_u8_pixel_banks():
+    """uint8 side-banks: pixel dims round-trip exactly for integer
+    values and within 0.5 otherwise; float dims stay exact."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flybody_tpu.agents import replay as replay_lib
+
+    obs_dim, act_dim, cap, n = 12, 3, 32, 8
+    u8_idx = tuple(range(4, 10))  # "pixels" live at dims 4..9
+    rng = np.random.RandomState(0)
+    state = replay_lib.init(cap, obs_dim, act_dim, u8_idx=u8_idx)
+    assert state.obs_u8.shape == (cap, 6)
+    assert state.data.obs.shape == (cap, 6)
+
+    obs = rng.randn(n, obs_dim).astype(np.float32)
+    obs[:, 4:10] = rng.randint(0, 256, (n, 6)).astype(np.float32)
+    obs[0, 4] = 37.6  # non-integer pixel -> quantized to 38
+    nxt = obs + 1.0
+    batch = replay_lib.Transition(
+        obs=jnp.asarray(obs),
+        action=jnp.zeros((n, act_dim), jnp.float32),
+        reward=jnp.arange(n, dtype=jnp.float32),
+        discount=jnp.ones((n,), jnp.float32),
+        next_obs=jnp.asarray(nxt))
+    state = replay_lib.insert(state, batch, u8_idx=u8_idx)
+    _, got = replay_lib.sample(state, jax.random.PRNGKey(0), 64,
+                               u8_idx=u8_idx)
+    got_obs = np.asarray(got.obs)
+    got_rew = np.asarray(got.reward)
+    # Match each sampled row to its source row by the reward tag.
+    for i in range(64):
+        src = obs[int(got_rew[i])]
+        np.testing.assert_allclose(got_obs[i, :4], src[:4], rtol=0,
+                                   atol=0)
+        np.testing.assert_allclose(got_obs[i, 10:], src[10:], rtol=0,
+                                   atol=0)
+        assert np.abs(got_obs[i, 4:10] - src[4:10]).max() <= 0.5
