@@ -45,3 +45,21 @@ def test_evaluator_stats(trainer):
     assert np.isfinite(float(stats['episode_return_mean']))
     assert (float(stats['episode_return_min'])
             <= float(stats['episode_return_max']))
+
+
+def test_vision_trainer_u8_replay_iteration():
+    """Vision trainer (eye pixels in the obs, uint8 replay banks) runs
+    one fused iteration with finite losses on CPU."""
+    env = cast_env_f32(make_env('vision_bumps'))
+    cfg = TrainConfig(num_envs=2, rollout_length=4, replay_capacity=128,
+                      min_replay_fraction=0.0, learner_steps_per_iter=1,
+                      networks='vision',
+                      dmpo=DMPOConfig(batch_size=4, num_samples=2,
+                                      n_step=2, min_replay_size=4))
+    tr = DMPOTrainer(env, cfg)
+    assert len(tr.u8_idx) == 2 * 32 * 32  # both eyes quantized
+    state = tr.init(jax.random.PRNGKey(0))
+    assert state.replay.obs_u8 is not None
+    state, stats = jax.jit(tr.train_iteration)(state)
+    for k, v in stats.items():
+        assert np.isfinite(np.asarray(v)).all(), k
