@@ -24,10 +24,20 @@ def _disabled() -> frozenset[str]:
     return frozenset(p.strip() for p in v.split(',') if p.strip())
 
 
+# The whole-stage fusion kernels are opt-in until their Mosaic lowering
+# is validated on real TPU: first compile attempts (2026-08-18) hit
+# Mosaic NotImplemented gaps (>2-D gather, sublane+lane broadcast) that
+# interpret-mode tests cannot catch. Set FLYBODY_STAGE_FUSION=1 to
+# enable once a compiled-lane run (tests/test_tpu_kernels.py) is green.
+_OPT_IN = frozenset({'posstage', 'forcestage', 'sensstage'})
+
+
 def pallas_enabled(name: str) -> bool:
     """True if the named pallas kernel should run (TPU backend and not
     disabled via FLYBODY_NO_PALLAS)."""
     if name in _disabled():
+        return False
+    if name in _OPT_IN and not os.environ.get('FLYBODY_STAGE_FUSION'):
         return False
     try:
         return jax.default_backend() == 'tpu'

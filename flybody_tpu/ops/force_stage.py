@@ -334,10 +334,12 @@ def _make_kernel(tb):
             lo, r = offs[name]
             if x.ndim == 2:
                 return jnp.dot(ref[lo:lo + r, :], x,
-                               preferred_element_type=f32)
+                               preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)
             N, C, _ = x.shape
             y = jnp.dot(ref[lo:lo + r, :], x.reshape(N, C * L),
-                        preferred_element_type=f32)
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)
             return y.reshape(r, C, L)
 
         def cv(name):
@@ -372,12 +374,22 @@ def _make_kernel(tb):
             for i in range(6)], axis=1)  # (nv, 6, L)
         bufp = mm(cnv_ref, offs_nv, 'Glimb', buf).reshape(nl, dm, 6, L)
         cdofp = mm(cnv_ref, offs_nv, 'Glimb', cdof).reshape(nl, dm, 6, L)
-        limbw = cv('limbw').reshape(nl, dm, 1, 1)
+        # Mosaic cannot broadcast sublanes and lanes in one op; expand
+        # constants to full lane width first (lane-only broadcast), so
+        # the multiply below only broadcasts sublanes.
+        limbw = jnp.broadcast_to(
+            cv('limbw').reshape(nl, dm, 1, 1), (nl, dm, 1, L))
         bufp = bufp * limbw
         cdofp = cdofp * limbw
-        P = sum(bufp[:, :, None, c, :] * cdofp[:, None, :, c, :]
+        # NOTE: mixing None with an integer index in one [] lowers to a
+        # >2-D gather, which Mosaic rejects; slice first, then expand.
+        bufp_c = [jnp.expand_dims(bufp[:, :, c, :], 2) for c in range(6)]
+        bufp_r = [jnp.expand_dims(bufp[:, :, c, :], 1) for c in range(6)]
+        cdofp_c = [jnp.expand_dims(cdofp[:, :, c, :], 2) for c in range(6)]
+        cdofp_r = [jnp.expand_dims(cdofp[:, :, c, :], 1) for c in range(6)]
+        P = sum(bufp_c[c] * cdofp_r[c]
                 for c in range(6))  # (nl, dm, dm, L)
-        Pt = sum(cdofp[:, :, None, c, :] * bufp[:, None, :, c, :]
+        Pt = sum(cdofp_c[c] * bufp_r[c]
                  for c in range(6))
         ancp = cv('ancp').reshape(nl, dm, dm, 1)
         ancpT = cv('ancpT').reshape(nl, dm, dm, 1)
@@ -390,13 +402,15 @@ def _make_kernel(tb):
              + eye_d * limbarm)  # (nl, dm, dm, L)
         # Border rows B[l, r, j] = buf_limb_j . cdof_root_r.
         cdof_root = cdof[0:nr]  # (nr, 6, L)
-        B = sum(cdof_root[None, :, None, c, :] * bufp[:, None, :, c, :]
+        B = sum(cdof_root[:, c, :][None, :, None, :] * bufp_r[c]
                 for c in range(6))  # (nl, nr, dm, L)
         # Root block.
         buf_root = buf[0:nr]
-        Pr = sum(buf_root[:, None, c, :] * cdof_root[None, :, c, :]
+        Pr = sum(buf_root[:, c, :][:, None, :]
+                 * cdof_root[:, c, :][None, :, :]
                  for c in range(6))  # (nr, nr, L)
-        Prt = sum(cdof_root[:, None, c, :] * buf_root[None, :, c, :]
+        Prt = sum(cdof_root[:, c, :][:, None, :]
+                  * buf_root[:, c, :][None, :, :]
                   for c in range(6))
         ancr = cv('ancr')[:, :, :]  # (nr, nr, 1)
         ancrT = cv('ancrT')[:, :, :]
@@ -498,14 +512,20 @@ def _make_kernel(tb):
         # mj_objectVelocity / the cdof reference point).
         sroot = mm(cnb_ref, offs_nb, 'Groot', scom)  # (nb, 3, L)
         lw_b, lv_b = local_vel(cvel, sroot, xipos, ximat)
+        def bl(x):
+            # Lane-broadcast a (..., 1) constant to (..., L): Mosaic
+            # rejects a single broadcast in both sublanes and lanes, so
+            # expand lanes first and let the consumer broadcast sublanes.
+            return jnp.broadcast_to(x, x.shape[:-1] + (L,))
+
         diam = boxp[:, 3:4]  # (nb, 1, 1)
-        ltrq = -jnp.pi * diam ** 3 * viscosity * lw_b
-        lfrc = -3.0 * jnp.pi * diam * viscosity * lv_b
-        lfrc = lfrc - 0.5 * density * jnp.stack([
+        ltrq = bl(-jnp.pi * diam ** 3 * viscosity) * lw_b
+        lfrc = bl(-3.0 * jnp.pi * diam * viscosity) * lv_b
+        lfrc = lfrc - 0.5 * bl(density) * jnp.stack([
             boxp[:, 5] * jnp.abs(lv_b[:, 0]) * lv_b[:, 0],
             boxp[:, 6] * jnp.abs(lv_b[:, 1]) * lv_b[:, 1],
             boxp[:, 7] * jnp.abs(lv_b[:, 2]) * lv_b[:, 2]], axis=1)
-        ltrq = ltrq - density / 64.0 * jnp.stack([
+        ltrq = ltrq - bl(density) / 64.0 * jnp.stack([
             boxp[:, 8] * jnp.abs(lw_b[:, 0]) * lw_b[:, 0],
             boxp[:, 9] * jnp.abs(lw_b[:, 1]) * lw_b[:, 1],
             boxp[:, 10] * jnp.abs(lw_b[:, 2]) * lw_b[:, 2]], axis=1)
@@ -513,7 +533,7 @@ def _make_kernel(tb):
         wf_b = rot_world(ximat, lfrc)
         bmask = boxp[:, 4:5]  # (nb, 1, 1)
         t_ref_b = wt_b + _cross(xipos - sroot, wf_b)
-        fsp_b = jnp.concatenate([t_ref_b, wf_b], axis=1) * bmask
+        fsp_b = jnp.concatenate([t_ref_b, wf_b], axis=1) * bl(bmask)
 
         # --- fluid: ellipsoid (per geom).
         gpos = gpos_ref[...]
@@ -535,7 +555,7 @@ def _make_kernel(tb):
         v_ang = density * gflA[:, 3:6] * lw_g
         fA = _cross(v_lin, lw_g)
         gA = _cross(v_lin, lv_g) + _cross(v_ang, lw_g)
-        fM = magnus * density * volume * _cross(lw_g, lv_g)
+        fM = bl(magnus * density * volume) * _cross(lw_g, lv_g)
         gsz = cv('gszA')  # (ng, 6, 1): (s1s2)^2... (s0s1)^4
         proj_den = (gsz[:, 3] * lv_g[:, 0] ** 2
                     + gsz[:, 4] * lv_g[:, 1] ** 2
@@ -564,15 +584,17 @@ def _make_kernel(tb):
                        + slender[:, 0] * (A_max[:, 0] - A_proj)))
         drag_ang = (viscosity[:, 0, 0] * lin_t[:, 0]
                     + density[:, 0, 0] * mv_norm)
-        ltrq_g = (gA - drag_ang[:, None, :] * lw_g) * interaction
+        inter_l = bl(interaction)
+        ltrq_g = (gA - drag_ang[:, None, :] * lw_g) * inter_l
         lfrc_g = (fA + fM + fK - drag_lin[:, None, :] * lv_g) \
-            * interaction
+            * inter_l
         wt_g = rot_world(gmat, ltrq_g)
         wf_g = rot_world(gmat, lfrc_g)
         t_ref_g = wt_g + _cross(gpos - scom_g, wf_g)
-        fsp_g = jnp.concatenate([t_ref_g, wf_g], axis=1) * gmask
+        fsp_g = jnp.concatenate([t_ref_g, wf_g], axis=1) * bl(gmask)
         fsp_gb = jnp.dot(cng_ref[...], fsp_g.reshape(ng, 6 * L),
-                         preferred_element_type=f32).reshape(nb, 6, L)
+                         preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST).reshape(nb, 6, L)
 
         fproj_fl = mm(cnb_ref, offs_nb, 'maskT', fsp_b + fsp_gb)
         qfrc_fluid = jnp.sum(cdof * fproj_fl, axis=1)
@@ -589,7 +611,8 @@ def _make_kernel(tb):
         ctrl = jnp.clip(ctrl_ref[...], cr0, cr1)  # (nu, L)
         act = act_ref[...]  # (na, L)
         act_for_u = jnp.dot(cna_ref[...], act,
-                            preferred_element_type=f32)
+                            preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)
         act_dot_u = (ctrl - act_for_u) / tau_u
         adot = mm(cnu_ref, offs_nu, 'ascat', act_dot_u)  # (na, L)
         inp = has_act * act_for_u + (1.0 - has_act) * ctrl

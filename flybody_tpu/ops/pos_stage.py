@@ -309,19 +309,22 @@ def _make_kernel(tb):
         def mmq(name):
             lo, r = offs_q[name]
             return jnp.dot(cq_ref[lo:lo + r, :], qp,
-                           preferred_element_type=f32)
+                           preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)
 
         def mmb(name, x):
             lo, r = offs_b[name]
             N, C, _ = x.shape
             y = jnp.dot(cb_ref[lo:lo + r, :], x.reshape(N, C * L),
-                        preferred_element_type=f32)
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)
             return y.reshape(r, C, L)
 
         def mmh(s, x):
             N, C, _ = x.shape
             y = jnp.dot(ch_ref[s * nb:(s + 1) * nb, :],
-                        x.reshape(N, C * L), preferred_element_type=f32)
+                        x.reshape(N, C * L), preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)
             return y.reshape(nb, C, L)
 
         def cv(name):
@@ -476,7 +479,8 @@ def _make_kernel(tb):
         ], axis=1)
         jcat2 = jnp.concatenate([janc_w, jaxis_w], axis=1)  # (nj, 6, L)
         jd = jnp.dot(cj_ref[...], jcat2.reshape(nj, 6 * L),
-                     preferred_element_type=f32).reshape(nv, 6, L)
+                     preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST).reshape(nv, 6, L)
         anchor_d, hax = jd[:, :3], jd[:, 3:]
         dm_ = cv('dof_masks')  # (nv, 3, 1): [rot, free_trans, bfu]
         is_rot = dm_[:, 0:1]

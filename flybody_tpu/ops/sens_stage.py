@@ -99,7 +99,8 @@ def _make_kernel(tb):
         # cacc = gravity + (A . qacc) @ cdof + (A . qvel) @ cdof_dot.
         x = qacc[:, None, :] * cdof + qvel[:, None, :] * cdd  # (nv,6,L)
         cacc = jnp.dot(bdm, x.reshape(nv, 6 * L),
-                       preferred_element_type=f32).reshape(nb, 6, L)
+                       preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST).reshape(nb, 6, L)
         gvec = jnp.concatenate([
             jnp.zeros((1, 3, L), f32),
             jnp.zeros((1, 3, L), f32)
@@ -150,10 +151,12 @@ def _make_kernel(tb):
             rsel = jnp.sum(oh * rootf, axis=1)  # (K, L) root body id
             ohr = (jnp.abs(rsel[:, None, :]
                            - biota.astype(f32)) < 0.5).astype(f32)
+            # (None + int index in one [] lowers to >2-D gather, which
+            # Mosaic rejects; slice with the int first, then expand.)
             ref = jnp.stack([
-                jnp.sum(ohr * scom[None, :, 0, :], axis=1),
-                jnp.sum(ohr * scom[None, :, 1, :], axis=1),
-                jnp.sum(ohr * scom[None, :, 2, :], axis=1)], axis=1)
+                jnp.sum(ohr * scom[:, 0, :][None], axis=1),
+                jnp.sum(ohr * scom[:, 1, :][None], axis=1),
+                jnp.sum(ohr * scom[:, 2, :][None], axis=1)], axis=1)
             trq = _cross(cxp - ref, sign * fw)
             w6 = jnp.concatenate([trq, sign * fw], axis=1) \
                 * cact[0][:, None, :]
@@ -165,7 +168,8 @@ def _make_kernel(tb):
             cb[1], 1.0)
         net = h - cfrc_ext
         fint = jnp.dot(cnb_ref[...], net.reshape(nb, 6 * L),
-                       preferred_element_type=f32).reshape(nb, 6, L)
+                       preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST).reshape(nb, 6, L)
 
         # Per-sensor segments (static site/body ids -> static slices).
         normal_force = jnp.maximum(fc[:, 0], 0.0) * cact[0]  # (K, L)

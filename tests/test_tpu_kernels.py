@@ -21,6 +21,11 @@ if not os.environ.get('FLYBODY_TPU_TESTS'):
     pytest.skip('set FLYBODY_TPU_TESTS=1 to run the compiled-kernel lane',
                 allow_module_level=True)
 
+# The whole-stage fusion kernels are opt-in (ops/dispatch.py) until
+# this lane has validated them on the real chip; the lane always
+# exercises them.
+os.environ.setdefault('FLYBODY_STAGE_FUSION', '1')
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
