@@ -20,8 +20,13 @@ import numpy as np
 from flybody_tpu.model import meshes as _meshes
 from flybody_tpu.model import spec as _spec
 
-# Default location of the reference XML (read-only reference checkout).
-REFERENCE_ASSETS_DIR = '/root/reference/flybody/fruitfly/assets'
+# The fly model (fruitfly.xml + mesh pack) is vendored with the package —
+# it is the data artifact the reference distributes via its repo/figshare
+# (reference flybody/fruitfly/assets/) — so the framework has no runtime
+# dependency on a reference checkout. FLYBODY_ASSETS_DIR overrides.
+VENDORED_ASSETS_DIR = os.path.join(os.path.dirname(__file__), 'assets')
+# Backwards-compatible alias (old name predates vendoring).
+REFERENCE_ASSETS_DIR = VENDORED_ASSETS_DIR
 XML_NAME = 'fruitfly.xml'
 
 

@@ -1,7 +1,8 @@
 """Synthesis of replacement meshes for assets missing from the reference.
 
-The reference model (/root/reference/flybody/fruitfly/assets/fruitfly.xml)
-references six mesh files that are not shipped with the repository snapshot:
+The fly model (vendored at flybody_tpu/model/assets/fruitfly.xml, from the
+reference's flybody/fruitfly/assets snapshot) references six mesh files that
+are not shipped with the repository snapshot:
 head_body.obj, head_red.obj, head_ocelli.obj, head_black.obj,
 thorax_body.obj, thorax_black.obj.
 
