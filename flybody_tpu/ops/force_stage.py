@@ -291,10 +291,13 @@ def build_tables(model):
 
     dims = dict(nb=nb, nq=nq, nv=nv, ng=ng, nt=nt, nu=nu, na=na,
                 na_k=na_k, nl=nl, dm=dm, nr=nr)
+    wind_h = tuple(float(w) for w in np.asarray(model.wind))
+    scal = dict(density=float(model.density),
+                viscosity=float(model.viscosity), wind=wind_h)
     return dict(CNV=CNV, CNQ=CNQ, CNB=CNB, CNG=CNG, CNU=CNU, CNA=CNA,
                 CNT=CNT, CV=CV, offs_nv=offs_nv, offs_nq=offs_nq,
                 offs_nb=offs_nb, offs_nu=offs_nu, offs_nt=offs_nt,
-                cvmap=pk.map, dims=dims)
+                cvmap=pk.map, dims=dims, scal=scal)
 
 
 def _onehot(rows, n, idx):
@@ -466,10 +469,23 @@ def _make_kernel(tb):
         qfrc_pas = qfrc_pas + mm(cnt_ref, offs_nt, 'tenJT', tfrc)
 
         # --- fluid: inertia box (per body).
-        dv = cv('dv')  # (1, 2, 1)
-        density = dv[:, 0:1]     # (1, 1, 1)
-        viscosity = dv[:, 1:2]
-        wind3 = cv('wind')  # (1, 3, 1)
+        # Per-model fluid constants are static: bake them in as Python
+        # floats (scalar immediates) — Mosaic rejects the alternative,
+        # a (1,1,1)->(n,s,L) vector broadcast ("broadcast in both
+        # sublanes and lanes"), and in-kernel rank-0 extracts from VMEM
+        # SIGABRT the compiler.
+        density = tb['scal']['density']
+        viscosity = tb['scal']['viscosity']
+        wind3 = tb['scal']['wind']
+
+        def bmul(c, y):
+            # Per-row constant c (n, 1, 1) times y (n, s, L). A direct
+            # broadcast-multiply needs a sublane+lane double broadcast,
+            # which Mosaic can't lower; lane-expand the constant in 2-D
+            # (lane-only broadcast) and multiply per sublane row.
+            c2 = jnp.broadcast_to(c[:, 0], (y.shape[0], y.shape[2]))
+            return jnp.stack([c2 * y[:, i] for i in range(y.shape[1])],
+                             axis=1)
 
         def local_vel(cvel_o_, scom_o_, pos, mat):
             w_ = cvel_o_[:, :3]
@@ -490,12 +506,12 @@ def _make_kernel(tb):
                 mat[:, 2] * v_at[:, 0] + mat[:, 5] * v_at[:, 1]
                 + mat[:, 8] * v_at[:, 2]], axis=1)
             wind_l = jnp.stack([
-                mat[:, 0] * wind3[:, 0] + mat[:, 3] * wind3[:, 1]
-                + mat[:, 6] * wind3[:, 2],
-                mat[:, 1] * wind3[:, 0] + mat[:, 4] * wind3[:, 1]
-                + mat[:, 7] * wind3[:, 2],
-                mat[:, 2] * wind3[:, 0] + mat[:, 5] * wind3[:, 1]
-                + mat[:, 8] * wind3[:, 2]], axis=1)
+                mat[:, 0] * wind3[0] + mat[:, 3] * wind3[1]
+                + mat[:, 6] * wind3[2],
+                mat[:, 1] * wind3[0] + mat[:, 4] * wind3[1]
+                + mat[:, 7] * wind3[2],
+                mat[:, 2] * wind3[0] + mat[:, 5] * wind3[1]
+                + mat[:, 8] * wind3[2]], axis=1)
             return lw, lv - wind_l
 
         def rot_world(mat, x):
@@ -512,20 +528,15 @@ def _make_kernel(tb):
         # mj_objectVelocity / the cdof reference point).
         sroot = mm(cnb_ref, offs_nb, 'Groot', scom)  # (nb, 3, L)
         lw_b, lv_b = local_vel(cvel, sroot, xipos, ximat)
-        def bl(x):
-            # Lane-broadcast a (..., 1) constant to (..., L): Mosaic
-            # rejects a single broadcast in both sublanes and lanes, so
-            # expand lanes first and let the consumer broadcast sublanes.
-            return jnp.broadcast_to(x, x.shape[:-1] + (L,))
 
         diam = boxp[:, 3:4]  # (nb, 1, 1)
-        ltrq = bl(-jnp.pi * diam ** 3 * viscosity) * lw_b
-        lfrc = bl(-3.0 * jnp.pi * diam * viscosity) * lv_b
-        lfrc = lfrc - 0.5 * bl(density) * jnp.stack([
+        ltrq = bmul(-jnp.pi * viscosity * diam ** 3, lw_b)
+        lfrc = bmul(-3.0 * jnp.pi * viscosity * diam, lv_b)
+        lfrc = lfrc - 0.5 * density * jnp.stack([
             boxp[:, 5] * jnp.abs(lv_b[:, 0]) * lv_b[:, 0],
             boxp[:, 6] * jnp.abs(lv_b[:, 1]) * lv_b[:, 1],
             boxp[:, 7] * jnp.abs(lv_b[:, 2]) * lv_b[:, 2]], axis=1)
-        ltrq = ltrq - bl(density) / 64.0 * jnp.stack([
+        ltrq = ltrq - density / 64.0 * jnp.stack([
             boxp[:, 8] * jnp.abs(lw_b[:, 0]) * lw_b[:, 0],
             boxp[:, 9] * jnp.abs(lw_b[:, 1]) * lw_b[:, 1],
             boxp[:, 10] * jnp.abs(lw_b[:, 2]) * lw_b[:, 2]], axis=1)
@@ -533,7 +544,7 @@ def _make_kernel(tb):
         wf_b = rot_world(ximat, lfrc)
         bmask = boxp[:, 4:5]  # (nb, 1, 1)
         t_ref_b = wt_b + _cross(xipos - sroot, wf_b)
-        fsp_b = jnp.concatenate([t_ref_b, wf_b], axis=1) * bl(bmask)
+        fsp_b = bmul(bmask, jnp.concatenate([t_ref_b, wf_b], axis=1))
 
         # --- fluid: ellipsoid (per geom).
         gpos = gpos_ref[...]
@@ -555,7 +566,7 @@ def _make_kernel(tb):
         v_ang = density * gflA[:, 3:6] * lw_g
         fA = _cross(v_lin, lw_g)
         gA = _cross(v_lin, lv_g) + _cross(v_ang, lw_g)
-        fM = bl(magnus * density * volume) * _cross(lw_g, lv_g)
+        fM = bmul(density * magnus * volume, _cross(lw_g, lv_g))
         gsz = cv('gszA')  # (ng, 6, 1): (s1s2)^2... (s0s1)^4
         proj_den = (gsz[:, 3] * lv_g[:, 0] ** 2
                     + gsz[:, 4] * lv_g[:, 1] ** 2
@@ -571,27 +582,26 @@ def _make_kernel(tb):
         speed = jnp.sqrt(jnp.maximum(
             jnp.sum(lv_g * lv_g, axis=1), 0.0))
         cos_a = proj_num / jnp.maximum(_MJMINVAL, speed * proj_den)
-        circ = (kutta[:, 0] * density[:, 0, 0] * cos_a
+        circ = (kutta[:, 0] * density * cos_a
                 * A_proj)[:, None, :] * _cross(norm_v, lv_g)
         fK = _cross(circ, lv_g)
         gII = cv('gII')  # (ng, 3, 1)
         mom_visc = lw_g * (ang_d * gII + slender * (I_max - gII))
         mv_norm = jnp.sqrt(jnp.maximum(
             jnp.sum(mom_visc * mom_visc, axis=1), 0.0))
-        drag_lin = (viscosity[:, 0, 0] * lin_f[:, 0]
-                    + density[:, 0, 0] * speed
+        drag_lin = (viscosity * lin_f[:, 0]
+                    + density * speed
                     * (A_proj * blunt[:, 0]
                        + slender[:, 0] * (A_max[:, 0] - A_proj)))
-        drag_ang = (viscosity[:, 0, 0] * lin_t[:, 0]
-                    + density[:, 0, 0] * mv_norm)
-        inter_l = bl(interaction)
-        ltrq_g = (gA - drag_ang[:, None, :] * lw_g) * inter_l
-        lfrc_g = (fA + fM + fK - drag_lin[:, None, :] * lv_g) \
-            * inter_l
+        drag_ang = (viscosity * lin_t[:, 0]
+                    + density * mv_norm)
+        ltrq_g = bmul(interaction, gA - drag_ang[:, None, :] * lw_g)
+        lfrc_g = bmul(interaction,
+                      fA + fM + fK - drag_lin[:, None, :] * lv_g)
         wt_g = rot_world(gmat, ltrq_g)
         wf_g = rot_world(gmat, lfrc_g)
         t_ref_g = wt_g + _cross(gpos - scom_g, wf_g)
-        fsp_g = jnp.concatenate([t_ref_g, wf_g], axis=1) * bl(gmask)
+        fsp_g = bmul(gmask, jnp.concatenate([t_ref_g, wf_g], axis=1))
         fsp_gb = jnp.dot(cng_ref[...], fsp_g.reshape(ng, 6 * L),
                          preferred_element_type=f32,
                         precision=jax.lax.Precision.HIGHEST).reshape(nb, 6, L)
@@ -626,16 +636,33 @@ def _make_kernel(tb):
             + (1.0 - limited) * force
         qact = mm(cnu_ref, offs_nu, 'momT', force)  # (nv, L)
 
-        cvel_o[...] = cvel
-        cdd_o[...] = cdof_dot
-        tenv_o[...] = tenv[:, None, :]
-        bias_o[...] = qfrc_bias[:, None, :]
-        pas_o[...] = qfrc_pas[:, None, :]
-        fld_o[...] = qfrc_fluid[:, None, :]
-        qact_o[...] = qact[:, None, :]
-        afrc_o[...] = force[:, None, :]
-        adot_o[...] = adot[:, None, :]
-        mp_o[...] = Mp
+        # Compile-fault bisection: FLYBODY_FS_BISECT names outputs to
+        # zero out at trace time; their compute chains DCE away, so a
+        # successful compile isolates the faulty section. Diagnostics
+        # only — parity tests fail loudly if left set.
+        import os as _os
+        _skip = frozenset(
+            p.strip() for p in
+            _os.environ.get('FLYBODY_FS_BISECT', '').split(',') if p.strip())
+
+        def w(ref, name, val):
+            ref[...] = jnp.zeros(ref.shape, ref.dtype) \
+                if name in _skip else val
+
+        w(cvel_o, 'cvel', cvel)
+        w(cdd_o, 'cdd', cdof_dot)
+        w(tenv_o, 'tenv', tenv[:, None, :])
+        w(bias_o, 'bias', qfrc_bias[:, None, :])
+        w(pas_o, 'pas', qfrc_pas[:, None, :])
+        w(fld_o, 'fld', qfrc_fluid[:, None, :])
+        w(qact_o, 'qact', qact[:, None, :])
+        # actuator_force is the one non-matmul vector among the
+        # outputs; storing it as (nu, 1, L) forces a sublane relayout
+        # that crashes Mosaic's LLO lowering (Check failed: d >> 32 == 0)
+        # on v5e, so its output stays 2-D (nu, L).
+        w(afrc_o, 'afrc', force)
+        w(adot_o, 'adot', adot[:, None, :])
+        w(mp_o, 'mp', Mp)
 
     return body
 
@@ -667,11 +694,11 @@ def _run_pallas(tb, body, batched, consts, interpret):
             jax.ShapeDtypeStruct((nv, 1, B), f32),
             jax.ShapeDtypeStruct((nv, 1, B), f32),
             jax.ShapeDtypeStruct((nv, 1, B), f32),
-            jax.ShapeDtypeStruct((nu, 1, B), f32),
+            jax.ShapeDtypeStruct((nu, B), f32),
             jax.ShapeDtypeStruct((na, 1, B), f32),
             jax.ShapeDtypeStruct((nl + 1, dm + nr, dm, B), f32))
     out_specs = (lspec(nb, 6), lspec(nv, 6), lspec(nt, 1), lspec(nv, 1),
-                 lspec(nv, 1), lspec(nv, 1), lspec(nv, 1), lspec(nu, 1),
+                 lspec(nv, 1), lspec(nv, 1), lspec(nv, 1), lspec(nu),
                  lspec(na, 1), lspec(nl + 1, dm + nr, dm))
     return pl.pallas_call(
         body,
@@ -775,7 +802,7 @@ def make_force_stage_pe(model, interpret: bool = False):
         (cvel, cdd, tenv, bias, pas, fld, qact, afrc, adot, mp) = [
             fro(v) for v in outs]
         out = (cvel, cdd, tenv[:, :, 0], bias[:, :, 0], pas[:, :, 0],
-               fld[:, :, 0], qact[:, :, 0], afrc[:, :, 0],
+               fld[:, :, 0], qact[:, :, 0], afrc,
                adot[:, :d['na'], 0], mp)
         return out, tuple(True for _ in range(nouts))
 

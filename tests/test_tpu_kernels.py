@@ -211,7 +211,13 @@ def test_compiled_pos_stage_kernel():
     f = pos_stage.make_pos_stage_pe(model)
     assert f is not None
     out = jax.jit(jax.vmap(f))(qpos)  # pallas path on TPU
-    ref = jax.vmap(lambda q: pos_stage._ref_outputs(model, q))(qpos)
+    # The kernel computes its dots at Precision.HIGHEST (exact f32);
+    # the XLA stages' default-precision dots run at bf16 on TPU
+    # (~4e-3 rel), so the reference must be held to the same
+    # precision for a 1e-5 comparison to be meaningful.
+    with jax.default_matmul_precision('highest'):
+        ref = jax.jit(jax.vmap(
+            lambda q: pos_stage._ref_outputs(model, q)))(qpos)
     names = ['xpos', 'xquat', 'xmat', 'xipos', 'ximat', 'geom_xpos',
              'geom_xmat', 'site_xpos', 'site_xmat', 'subtree_com',
              'cinert', 'cdof', 'jnt_xanchor', 'jnt_xaxis', 'ten_length']
@@ -248,7 +254,9 @@ def test_compiled_force_stage_kernel():
             gpos, gmat, tenl)
     f = force_stage.make_force_stage_pe(model)
     out = jax.jit(jax.vmap(f))(*args)
-    ref = jax.vmap(lambda *a: force_stage._ref_outputs(model, *a))(*args)
+    with jax.default_matmul_precision('highest'):
+        ref = jax.jit(jax.vmap(
+            lambda *a: force_stage._ref_outputs(model, *a)))(*args)
     names = ['cvel', 'cdof_dot', 'ten_velocity', 'qfrc_bias',
              'qfrc_passive', 'qfrc_fluid', 'qfrc_actuator',
              'actuator_force', 'act_dot', 'qM']
@@ -300,7 +308,9 @@ def test_compiled_sens_stage_kernel():
             efcs.con_normal, cb12, efcs.con_active, fcs)
     f = sens_stage.make_sens_stage_pe(model)
     out = jax.jit(jax.vmap(f))(*args)
-    ref = jax.vmap(lambda *a: sens_stage._ref_outputs(model, *a))(*args)
+    with jax.default_matmul_precision('highest'):
+        ref = jax.jit(jax.vmap(
+            lambda *a: sens_stage._ref_outputs(model, *a)))(*args)
     o, r = np.asarray(out), np.asarray(ref)
     scale = np.maximum(1e-6, np.abs(r).max(0))
     assert float((np.abs(o - r) / scale).max()) < 1e-4
