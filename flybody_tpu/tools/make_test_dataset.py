@@ -112,6 +112,64 @@ def make_walking_dataset(path: str, model: FlyModel, n_traj: int = 2,
     return path
 
 
+def write_walking_dataset_from_frames(path: str, model: FlyModel,
+                                      qpos_frames_list, qvel_frames_list,
+                                      timestep: float = 2e-3,
+                                      site_names=DEFAULT_SITES,
+                                      joint_names=None):
+    """Writes a walking dataset from FULL engine state frames.
+
+    Each entry is (T, nq) qpos / (T, nv) qvel recorded from engine
+    rollouts (e.g. tools/gait_search.py), so the resulting dataset is
+    dynamically consistent by construction. Frames are split into the
+    reference layout (root free joint + tracked leg joints) and the
+    root2site/joint_quat reward features are computed by FK with the same
+    conventions as rewards.walker_features.
+    """
+    import h5py
+    meta = model.meta
+    if joint_names is None:
+        joint_names = _leg_joint_names(meta)
+    joint_ids = [meta.jnt_names.index(n) for n in joint_names]
+    site_ids = [meta.site_names.index(n) for n in site_names]
+    qposadr = np.array([meta.jnt_qposadr[j] for j in joint_ids])
+    dofadr = np.array([meta.jnt_dofadr[j] for j in joint_ids])
+
+    n_traj = len(qpos_frames_list)
+    nz = max(1, len(str(n_traj)))
+    with h5py.File(path, 'w') as f:
+        f.create_dataset('timestep_seconds', data=timestep)
+        g = f.create_group('trajectories')
+        lens = []
+        for i, (qp, qv) in enumerate(zip(qpos_frames_list,
+                                         qvel_frames_list)):
+            qp = np.asarray(qp, np.float64)
+            qv = np.asarray(qv, np.float64)
+            L = qp.shape[0]
+            lens.append(L)
+            # Re-zero xy like the reference loader expects to be able to
+            # (trajectory_loaders.py re-zeroes on load; storing re-zeroed
+            # frames keeps the file canonical).
+            qp = qp.copy()
+            qp[:, 0] -= qp[0, 0]
+            qp[:, 1] -= qp[0, 1]
+            r2s, jq = _features_for_frames(model, qp, site_ids, joint_ids)
+            s = g.create_group(str(i).zfill(nz))
+            s.create_dataset('root_qpos', data=qp[:, :7])
+            s.create_dataset('qpos', data=qp[:, qposadr])
+            s.create_dataset('root_qvel', data=qv[:, :6])
+            s.create_dataset('qvel', data=qv[:, dofadr])
+            s.create_dataset('root2site', data=np.asarray(r2s))
+            s.create_dataset('joint_quat', data=np.asarray(jq))
+        f.create_dataset('trajectory_lengths', data=np.array(lens))
+        idg = f.create_group('id2name')
+        idg.create_dataset(
+            'sites', data=np.array([n.encode() for n in site_names]))
+        idg.create_dataset(
+            'joints', data=np.array([n.encode() for n in joint_names]))
+    return path
+
+
 def make_flight_dataset(path: str, n_traj: int = 2, n_steps: int = 150,
                         timestep: float = 2e-4):
     """Writes a synthetic flight imitation dataset to `path`."""

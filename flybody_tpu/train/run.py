@@ -36,6 +36,18 @@ def make_env(task: str, **kwargs):
     return factory(functional=True, **kwargs)
 
 
+def cast_model_f32(model):
+    """Casts a FlyModel's float leaves to f32 (the TPU compute dtype)."""
+    import jax.numpy as jnp
+
+    def to_f32(x):
+        if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating):
+            return jnp.asarray(x, jnp.float32)
+        return x
+
+    return jax.tree.map(to_f32, model)
+
+
 def cast_env_f32(env):
     import jax.numpy as jnp
 
@@ -59,6 +71,36 @@ def cast_env_f32(env):
     return env
 
 
+def make_two_level_networks(vision_env, ll_snapshot_path):
+    """Frozen-LL two-level policy + VisNet critic for controller reuse.
+
+    The LL flight policy module is rebuilt with the flight task's
+    obs/action dims (the same construction it was trained with), its
+    params restored from the orbax snapshot and frozen in closure; only
+    the HL steering net's params are trainable. (Reference recipe:
+    network_factory_vis.py:19-52, 223-292.)
+    """
+    from flybody_tpu.agents import networks_vis
+    from flybody_tpu.agents.checkpointing import load_policy_snapshot
+    from flybody_tpu.agents.dmpo import DMPOLearner
+
+    ll_env = cast_env_f32(make_env('flight_imitation'))
+    ll_spec = ll_env.observation_spec()
+    ll_obs_dim = int(sum(np.prod(v.shape) for v in ll_spec.values()))
+    ll_learner = DMPOLearner(ll_obs_dim, ll_env.tables.num_actions,
+                             DMPOConfig(), action_min=ll_env.action_min,
+                             action_max=ll_env.action_max)
+    params_like = ll_learner.init(jax.random.PRNGKey(0)).policy_params
+    ll_params = load_policy_snapshot(ll_snapshot_path, params_like)
+
+    v_spec = vision_env.observation_spec()
+    policy = networks_vis.make_two_level_policy(
+        v_spec, ll_spec, ll_learner.policy, ll_params)
+    _, critic = networks_vis.make_vision_networks(
+        v_spec, vision_env.tables.num_actions)
+    return policy, critic
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--task', default='walk_imitation')
@@ -73,6 +115,12 @@ def main(argv=None):
     p.add_argument('--log-jsonl', default=None)
     p.add_argument('--test', action='store_true',
                    help='Tiny smoke configuration (reference --test mode).')
+    p.add_argument('--ll-snapshot', default=None,
+                   help='Path to a trained flight-policy orbax snapshot; '
+                        'enables controller-reuse training on vision '
+                        'tasks: the snapshot is frozen as the low-level '
+                        'policy and DMPO trains the HL steering net '
+                        '(reference network_factory_vis.py:19-52).')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--cpu', action='store_true',
                    help='force the CPU backend (the axon TPU platform '
@@ -95,16 +143,23 @@ def main(argv=None):
         env_kwargs['ref_path'] = args.ref_path
     env = cast_env_f32(make_env(args.task, **env_kwargs))
 
+    two_level = args.ll_snapshot and args.task.startswith('vision')
     cfg = TrainConfig(
         num_envs=args.num_envs,
         rollout_length=args.rollout_length,
         replay_capacity=args.replay_capacity,
         min_replay_fraction=0.002 if not args.test else 0.0,
-        networks='vision' if args.task.startswith('vision') else 'default',
+        networks=('vision' if args.task.startswith('vision')
+                  and not two_level else 'default'),
         dmpo=DMPOConfig(batch_size=args.batch_size,
                         num_samples=20 if not args.test else 4),
     )
-    trainer = DMPOTrainer(env, cfg)
+    policy = critic = None
+    if two_level:
+        policy, critic = make_two_level_networks(env, args.ll_snapshot)
+        print('controller reuse: frozen LL flight policy from',
+              args.ll_snapshot)
+    trainer = DMPOTrainer(env, cfg, policy=policy, critic=critic)
     logger = TrainLogger('learner', jsonl_path=args.log_jsonl)
     ckpt = None
     if args.ckpt_dir:

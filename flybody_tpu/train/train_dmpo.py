@@ -58,7 +58,18 @@ class TrainState(NamedTuple):
 class DMPOTrainer:
     """Builds the fused actor-learner step for a functional fly env."""
 
-    def __init__(self, env: FruitFlyEnv, config: TrainConfig = TrainConfig()):
+    def __init__(self, env: FruitFlyEnv, config: TrainConfig = TrainConfig(),
+                 policy=None, critic=None):
+        """Args:
+            env: functional fly env.
+            config: trainer configuration.
+            policy / critic: optional explicit network modules overriding
+                the config.networks selection — e.g. a frozen-LL
+                two-level controller from
+                networks_vis.make_two_level_policy (the reference's
+                controller-reuse recipe, network_factory_vis.py:19-52):
+                its trainable params are the HL steering net only.
+        """
         self.env = env
         self.config = config
         # Probe obs/action dims.
@@ -71,7 +82,7 @@ class DMPOTrainer:
         # grayscale eye images dominate vision obs; f32 storage of
         # obs+next_obs is ~18 KB/transition and OOMs HBM at scale).
         self.u8_idx = ()
-        if config.networks == 'vision':
+        if config.networks == 'vision' or policy is not None:
             off, idxs = 0, []
             for n in sorted(ts_shape):
                 sz = int(np.prod(ts_shape[n].shape))
@@ -79,8 +90,7 @@ class DMPOTrainer:
                     idxs.extend(range(off, off + sz))
                 off += sz
             self.u8_idx = tuple(idxs)
-        policy = critic = None
-        if config.networks == 'vision':
+        if policy is None and config.networks == 'vision':
             from flybody_tpu.agents import networks_vis
             policy, critic = networks_vis.make_vision_networks(
                 ts_shape, self.action_dim)
