@@ -151,48 +151,32 @@ class FruitFlyEnv:
 
         The self-contact force sum rides as one extra trailing channel of
         the sensor vector so it gets the same substep-mean aggregation as
-        the buffered sensors (reference fruitfly.py:705-707)."""
-        model = self.model
-        kw = self.engine_kwargs
+        the buffered sensors (reference fruitfly.py:705-707).
 
-        if self.control_callback is None:
-            def body(carry, _):
-                d = carry
-                out = engine.step(model, d, terrain=terrain, **kw)
-                sens = jnp.concatenate(
-                    [out.sensordata, out.self_contact_force[None]])
-                return out.strip(), sens
+        The core is a custom_vmap function whose batched rule runs
+        scan(vmap(engine.step)) instead of letting an outer jax.vmap
+        batch the substep scan: the vmap(scan(...)) form makes jax's
+        scan-batching replay the pallas stage kernels' custom_vmap rules
+        in a context that leaks tracers into lowering constants ("No
+        constant handler for DynamicJaxprTracer"); the commuted form is
+        semantically identical and lowers cleanly."""
+        core = self._substeps_core(terrain is not None)
+        if terrain is None:
+            return core(data, ctrl)
+        return core(data, ctrl, terrain)
 
-            data = data.replace(ctrl=ctrl)
-            data, sens = jax.lax.scan(body, data, length=self.n_sub)
-            return data, jnp.mean(sens, axis=0)
-
-        # With a control callback the carry additionally threads the
-        # previous substep's qfrc_actuator (the view mjcb_control has of
-        # mjData at the top of mj_forward) and qfrc_applied must be
-        # array-shaped from the start for a stable scan structure.
-        def body_cb(carry, _):
-            d, prev_qfrc_act = carry
-            d = self.control_callback(
-                model, d.replace(qfrc_actuator=prev_qfrc_act))
-            d = d.replace(qfrc_actuator=None)
-            out = engine.step(model, d, terrain=terrain, **kw)
-            sens = jnp.concatenate(
-                [out.sensordata, out.self_contact_force[None]])
-            return (out.strip(), out.qfrc_actuator), sens
-
-        prev = (data.qfrc_actuator if data.qfrc_actuator is not None
-                else jnp.zeros_like(data.qvel))
-        data = data.replace(
-            ctrl=ctrl,
-            qfrc_actuator=None,
-            qfrc_applied=(data.qfrc_applied
-                          if data.qfrc_applied is not None
-                          else jnp.zeros_like(data.qvel)))
-        (data, qfrc_act), sens = jax.lax.scan(
-            body_cb, (data, prev), length=self.n_sub)
-        data = data.replace(qfrc_actuator=qfrc_act)
-        return data, jnp.mean(sens, axis=0)
+    def _substeps_core(self, with_terrain: bool):
+        """Per-instance cache of the custom_vmap substep cores (keyed on
+        the current control_callback so late assignment invalidates)."""
+        key = '_subcore_terrain' if with_terrain else '_subcore_plain'
+        cached = self.__dict__.get(key)
+        if cached is not None and cached[0] is self.control_callback:
+            return cached[1]
+        fn = _build_substeps_core(self.model, dict(self.engine_kwargs),
+                                  self.n_sub, self.control_callback,
+                                  with_terrain)
+        self.__dict__[key] = (self.control_callback, fn)
+        return fn
 
     def _fk(self, data: Data) -> Data:
         fkd, ja, jx = kin.fwd_position_smooth(self.model, data)
@@ -344,3 +328,107 @@ class FruitFlyEnv:
         rng = jax.random.PRNGKey(0)
         _, ts = jax.eval_shape(self.reset, rng)
         return {k: v for k, v in ts.observation.items()}
+
+
+def _build_substeps_core(model, kw, n_sub, control_callback, with_terrain):
+    """Builds the custom_vmap substep core for one env configuration.
+
+    The primal runs the per-env substep scan (single-env usage). The
+    batched rule commutes the loop to scan(vmap(engine.step)) so the
+    pallas stage kernels' own custom_vmap rules fire inside a plain
+    vmap trace rather than inside jax's scan-batching replay (see
+    FruitFlyEnv._substeps).
+    """
+    from jax import custom_batching
+
+    cb = control_callback
+
+    def prep(data, ctrl):
+        # With a control callback the carry additionally threads the
+        # previous substep's qfrc_actuator (the view mjcb_control has of
+        # mjData at the top of mj_forward) and qfrc_applied must be
+        # array-shaped from the start for a stable scan structure.
+        if cb is None:
+            return data.replace(ctrl=ctrl), None
+        prev = (data.qfrc_actuator if data.qfrc_actuator is not None
+                else jnp.zeros_like(data.qvel))
+        data = data.replace(
+            ctrl=ctrl,
+            qfrc_actuator=None,
+            qfrc_applied=(data.qfrc_applied
+                          if data.qfrc_applied is not None
+                          else jnp.zeros_like(data.qvel)))
+        return data, prev
+
+    def one_sub(d, prev_qfrc_act, terrain):
+        if cb is not None:
+            d = cb(model, d.replace(qfrc_actuator=prev_qfrc_act))
+            d = d.replace(qfrc_actuator=None)
+        out = engine.step(model, d, terrain=terrain, **kw)
+        sens = jnp.concatenate(
+            [out.sensordata, out.self_contact_force[None]])
+        prev = out.qfrc_actuator if cb is not None else None
+        return out.strip(), prev, sens
+
+    def finalize(data, prev):
+        return data if cb is None else data.replace(qfrc_actuator=prev)
+
+    def single(data, ctrl, terrain):
+        data, prev = prep(data, ctrl)
+
+        def body(carry, _):
+            d, p = carry
+            d, p, sens = one_sub(d, p, terrain)
+            return (d, p), sens
+
+        (data, prev), sens = jax.lax.scan(body, (data, prev),
+                                          length=n_sub)
+        return finalize(data, prev), jnp.mean(sens, axis=0)
+
+    def batched(axis_size, in_batched, data, ctrl, terrain,
+                terrain_batched):
+        def bc(x, b):
+            if x is None or b:
+                return x
+            return jnp.broadcast_to(jnp.asarray(x)[None],
+                                    (axis_size,) + jnp.shape(x))
+
+        data = jax.tree.map(bc, data, in_batched[0])
+        ctrl = jax.tree.map(bc, ctrl, in_batched[1])
+        if terrain is not None:
+            terrain = jax.tree.map(bc, terrain, terrain_batched)
+        data, prev = jax.vmap(prep)(data, ctrl)
+
+        def body(carry, _):
+            d, p = carry
+            d, p, sens = jax.vmap(
+                one_sub,
+                in_axes=(0, 0, 0 if with_terrain else None))(d, p,
+                                                             terrain)
+            return (d, p), sens
+
+        (data, prev), sens = jax.lax.scan(body, (data, prev),
+                                          length=n_sub)
+        out = (jax.vmap(finalize)(data, prev), jnp.mean(sens, axis=0))
+        return out, jax.tree.map(lambda _: True, out)
+
+    if with_terrain:
+        @custom_batching.custom_vmap
+        def core(data, ctrl, terrain):
+            return single(data, ctrl, terrain)
+
+        @core.def_vmap
+        def _rule(axis_size, in_batched, data, ctrl, terrain):
+            return batched(axis_size, in_batched, data, ctrl, terrain,
+                           in_batched[2])
+    else:
+        @custom_batching.custom_vmap
+        def core(data, ctrl):
+            return single(data, ctrl, None)
+
+        @core.def_vmap
+        def _rule(axis_size, in_batched, data, ctrl):
+            return batched(axis_size, in_batched, data, ctrl, None,
+                           None)
+
+    return core

@@ -7,11 +7,9 @@ linesearch, arrow, newton, narrow, posstage, forcestage, sensstage} or
 'all'. Used to bisect runtime faults (is it a Mosaic kernel or XLA?) and
 to A/B kernel performance without code edits.
 
-The whole-stage fusion kernels (posstage, forcestage, sensstage) are
-additionally gated behind the opt-in FLYBODY_STAGE_FUSION variable (see
-_OPT_IN below); set it to 1/true to enable them once the compiled lane
-(FLYBODY_TPU_TESTS=1 tests/test_tpu_kernels.py) is green on the target
-chip. Falsy values ('', '0', 'false', 'no', 'off') leave them disabled.
+The whole-stage fusion kernels (posstage, forcestage, sensstage) are ON
+by default (compiled lane 7/7 green on v5e); FLYBODY_STAGE_FUSION=0 (or
+false/no/off) disables the group for A/B runs and fault bisection.
 """
 
 from __future__ import annotations
@@ -31,26 +29,25 @@ def _disabled() -> frozenset[str]:
     return frozenset(p.strip() for p in v.split(',') if p.strip())
 
 
-# The whole-stage fusion kernels are opt-in until their Mosaic lowering
-# is validated on real TPU: first compile attempts (2026-08-18) hit
-# Mosaic NotImplemented gaps (>2-D gather, sublane+lane broadcast) that
-# interpret-mode tests cannot catch. Set FLYBODY_STAGE_FUSION=1 to
-# enable once a compiled-lane run (tests/test_tpu_kernels.py) is green.
-_OPT_IN = frozenset({'posstage', 'forcestage', 'sensstage'})
+# The whole-stage fusion kernels (default ON since the compiled lane
+# went 7/7 green on v5e, 2026-08-18): FLYBODY_STAGE_FUSION=0/false
+# disables them as a group (equivalent to listing
+# posstage,forcestage,sensstage in FLYBODY_NO_PALLAS).
+_STAGE_FUSION = frozenset({'posstage', 'forcestage', 'sensstage'})
 
 
-def _env_truthy(var: str) -> bool:
-    return os.environ.get(var, '').strip().lower() not in (
-        '', '0', 'false', 'no', 'off')
+def _env_falsy(var: str) -> bool:
+    return os.environ.get(var, '').strip().lower() in (
+        '0', 'false', 'no', 'off')
 
 
 def pallas_enabled(name: str) -> bool:
     """True if the named pallas kernel should run (TPU backend, not
-    disabled via FLYBODY_NO_PALLAS, and — for the opt-in stage-fusion
-    kernels — FLYBODY_STAGE_FUSION set truthy)."""
+    disabled via FLYBODY_NO_PALLAS, and — for the stage-fusion
+    kernels — FLYBODY_STAGE_FUSION not set falsy)."""
     if name in _disabled():
         return False
-    if name in _OPT_IN and not _env_truthy('FLYBODY_STAGE_FUSION'):
+    if name in _STAGE_FUSION and _env_falsy('FLYBODY_STAGE_FUSION'):
         return False
     try:
         return jax.default_backend() == 'tpu'
