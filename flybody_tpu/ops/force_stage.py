@@ -22,6 +22,7 @@ folded into the constants.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flybody_tpu.model import spec as _s
+
+# In-kernel dot precision. Most of these dots are one-hot gather/
+# scatter matmuls whose operand VALUES must survive rounding intact:
+# Precision.DEFAULT would round operands to bf16 (7-bit mantissa) and
+# break the 1e-4 reference-parity tolerances, so HIGHEST (6-pass
+# bf16x6, f32-faithful) is the default. FLYBODY_STAGE_PRECISION=high
+# selects 3-pass bf16x3 for measured-perf A/B runs (advisor r2 #3).
+_DOT_PRECISION = {
+    'highest': jax.lax.Precision.HIGHEST,
+    'high': jax.lax.Precision.HIGH,
+}[os.environ.get('FLYBODY_STAGE_PRECISION', 'highest').strip().lower()]
 
 LANES = 128
 _EPS = 1e-15
@@ -338,11 +350,11 @@ def _make_kernel(tb):
             if x.ndim == 2:
                 return jnp.dot(ref[lo:lo + r, :], x,
                                preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=_DOT_PRECISION)
             N, C, _ = x.shape
             y = jnp.dot(ref[lo:lo + r, :], x.reshape(N, C * L),
                         preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=_DOT_PRECISION)
             return y.reshape(r, C, L)
 
         def cv(name):
@@ -604,7 +616,7 @@ def _make_kernel(tb):
         fsp_g = bmul(gmask, jnp.concatenate([t_ref_g, wf_g], axis=1))
         fsp_gb = jnp.dot(cng_ref[...], fsp_g.reshape(ng, 6 * L),
                          preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST).reshape(nb, 6, L)
+                        precision=_DOT_PRECISION).reshape(nb, 6, L)
 
         fproj_fl = mm(cnb_ref, offs_nb, 'maskT', fsp_b + fsp_gb)
         qfrc_fluid = jnp.sum(cdof * fproj_fl, axis=1)
@@ -622,7 +634,7 @@ def _make_kernel(tb):
         act = act_ref[...]  # (na, L)
         act_for_u = jnp.dot(cna_ref[...], act,
                             preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=_DOT_PRECISION)
         act_dot_u = (ctrl - act_for_u) / tau_u
         adot = mm(cnu_ref, offs_nu, 'ascat', act_dot_u)  # (na, L)
         inp = has_act * act_for_u + (1.0 - has_act) * ctrl

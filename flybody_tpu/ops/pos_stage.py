@@ -30,6 +30,7 @@ Reference semantics: mj_kinematics / mj_comPos / mj_tendon
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flybody_tpu.model import spec as _s
+
+# In-kernel dot precision. Most of these dots are one-hot gather/
+# scatter matmuls whose operand VALUES must survive rounding intact:
+# Precision.DEFAULT would round operands to bf16 (7-bit mantissa) and
+# break the 1e-4 reference-parity tolerances, so HIGHEST (6-pass
+# bf16x6, f32-faithful) is the default. FLYBODY_STAGE_PRECISION=high
+# selects 3-pass bf16x3 for measured-perf A/B runs (advisor r2 #3).
+_DOT_PRECISION = {
+    'highest': jax.lax.Precision.HIGHEST,
+    'high': jax.lax.Precision.HIGH,
+}[os.environ.get('FLYBODY_STAGE_PRECISION', 'highest').strip().lower()]
 
 LANES = 128
 _EPS = 1e-15
@@ -310,21 +322,21 @@ def _make_kernel(tb):
             lo, r = offs_q[name]
             return jnp.dot(cq_ref[lo:lo + r, :], qp,
                            preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=_DOT_PRECISION)
 
         def mmb(name, x):
             lo, r = offs_b[name]
             N, C, _ = x.shape
             y = jnp.dot(cb_ref[lo:lo + r, :], x.reshape(N, C * L),
                         preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=_DOT_PRECISION)
             return y.reshape(r, C, L)
 
         def mmh(s, x):
             N, C, _ = x.shape
             y = jnp.dot(ch_ref[s * nb:(s + 1) * nb, :],
                         x.reshape(N, C * L), preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=_DOT_PRECISION)
             return y.reshape(nb, C, L)
 
         def cv(name):
@@ -480,7 +492,7 @@ def _make_kernel(tb):
         jcat2 = jnp.concatenate([janc_w, jaxis_w], axis=1)  # (nj, 6, L)
         jd = jnp.dot(cj_ref[...], jcat2.reshape(nj, 6 * L),
                      preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST).reshape(nv, 6, L)
+                        precision=_DOT_PRECISION).reshape(nv, 6, L)
         anchor_d, hax = jd[:, :3], jd[:, 3:]
         dm_ = cv('dof_masks')  # (nv, 3, 1): [rot, free_trans, bfu]
         is_rot = dm_[:, 0:1]

@@ -18,6 +18,7 @@ Reference semantics: physics/sensors.py (parity-tested vs CPU MuJoCo).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -27,6 +28,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from flybody_tpu.model import spec as _s
+
+# In-kernel dot precision. Most of these dots are one-hot gather/
+# scatter matmuls whose operand VALUES must survive rounding intact:
+# Precision.DEFAULT would round operands to bf16 (7-bit mantissa) and
+# break the 1e-4 reference-parity tolerances, so HIGHEST (6-pass
+# bf16x6, f32-faithful) is the default. FLYBODY_STAGE_PRECISION=high
+# selects 3-pass bf16x3 for measured-perf A/B runs (advisor r2 #3).
+_DOT_PRECISION = {
+    'highest': jax.lax.Precision.HIGHEST,
+    'high': jax.lax.Precision.HIGH,
+}[os.environ.get('FLYBODY_STAGE_PRECISION', 'highest').strip().lower()]
 
 LANES = 128
 
@@ -100,7 +112,7 @@ def _make_kernel(tb):
         x = qacc[:, None, :] * cdof + qvel[:, None, :] * cdd  # (nv,6,L)
         cacc = jnp.dot(bdm, x.reshape(nv, 6 * L),
                        preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST).reshape(nb, 6, L)
+                        precision=_DOT_PRECISION).reshape(nb, 6, L)
         gvec = jnp.concatenate([
             jnp.zeros((1, 3, L), f32),
             jnp.zeros((1, 3, L), f32)
@@ -169,7 +181,7 @@ def _make_kernel(tb):
         net = h - cfrc_ext
         fint = jnp.dot(cnb_ref[...], net.reshape(nb, 6 * L),
                        preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST).reshape(nb, 6, L)
+                        precision=_DOT_PRECISION).reshape(nb, 6, L)
 
         # Per-sensor segments (static site/body ids -> static slices).
         normal_force = jnp.maximum(fc[:, 0], 0.0) * cact[0]  # (K, L)

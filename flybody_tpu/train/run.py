@@ -112,6 +112,9 @@ def main(argv=None):
     p.add_argument('--replay-capacity', type=int, default=1_000_000)
     p.add_argument('--batch-size', type=int, default=256)
     p.add_argument('--ckpt-dir', default=None)
+    p.add_argument('--ckpt-minutes', type=float, default=30.0,
+                   help='checkpoint save interval (reference saves every '
+                        '30 min, learning_dmpo.py:104-138)')
     p.add_argument('--log-jsonl', default=None)
     p.add_argument('--test', action='store_true',
                    help='Tiny smoke configuration (reference --test mode).')
@@ -164,7 +167,8 @@ def main(argv=None):
     ckpt = None
     if args.ckpt_dir:
         from flybody_tpu.agents.checkpointing import Checkpointer
-        ckpt = Checkpointer(args.ckpt_dir)
+        ckpt = Checkpointer(args.ckpt_dir,
+                            time_delta_minutes=args.ckpt_minutes)
 
     state = trainer.init(jax.random.PRNGKey(args.seed))
     if ckpt is not None and ckpt.latest_step is not None:

@@ -198,20 +198,22 @@ class DMPOTrainer:
                        int(cfg.replay_capacity * cfg.min_replay_fraction))
         ready = replay.size >= min_size
 
-        # Pre-sample every learner batch with one batched gather and keep
-        # the replay buffers OUT of the learner scan carry (sampling never
-        # mutates them; only the sample counter advances).
+        # Sample each learner batch INSIDE the scan body, closing over the
+        # (immutable during learning) replay buffers: they stay out of the
+        # scan carry, and only ONE batch is ever materialized. The previous
+        # pre-sample-all-batches form allocated learner_steps x batch x
+        # 2 x obs_dim floats up front — ~1.6 GB at 512 vision envs (360
+        # learner steps x 256 x ~4.4k obs floats), the leading suspect in
+        # the >=128-env vision trainer HBM blowups.
         rngs = jax.random.split(r_learn, self.learner_steps)
-        batches = jax.vmap(
-            lambda r: replay_lib.sample(replay, r, cfg.dmpo.batch_size,
-                                        u8_idx=self.u8_idx)[1]
-        )(rngs)
         replay = replay._replace(
             samples=replay.samples + self.learner_steps
             * cfg.dmpo.batch_size)
 
-        def learner_scan(learner, xs):
-            batch, rng_l = xs
+        def learner_scan(learner, rng_l):
+            _, batch = replay_lib.sample(replay, rng_l,
+                                         cfg.dmpo.batch_size,
+                                         u8_idx=self.u8_idx)
             r_step = jax.random.fold_in(rng_l, 1)
             new_learner, stats = self._sgd(learner, batch, r_step,
                                            axis_name)
@@ -221,8 +223,7 @@ class DMPOTrainer:
                 learner)
             return learner, stats
 
-        learner, stats = jax.lax.scan(learner_scan, state.learner,
-                                      (batches, rngs))
+        learner, stats = jax.lax.scan(learner_scan, state.learner, rngs)
         stats = jax.tree.map(lambda x: x[-1], stats)
 
         new_state = TrainState(
