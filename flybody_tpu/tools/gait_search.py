@@ -122,62 +122,81 @@ def ctrl_fn(tb, theta, t):
 def make_rollout(model, tb, n_ctrl_steps, n_sub=10, ctrl_dt=2e-3,
                  solver_iterations=6, ls_iterations=6, refactor_period=4,
                  record=False):
-    """theta -> fitness (and optionally the qpos/qvel trace)."""
+    """thetas (P, DIM) -> fitness (P,) (or the qpos/qvel traces).
+
+    Batched-first: the loop structure is scan(vmap(engine.step)), NOT
+    vmap(scan(step)) — jax's scan-batching replays the stage kernels'
+    custom_vmap rules in a context that leaks tracers into lowering
+    constants (same commutation as envs/base._build_substeps_core)."""
     from flybody_tpu.physics import engine
     from flybody_tpu.physics.state import make_data
 
-    def rollout(theta):
+    def rollout(thetas):
+        P = thetas.shape[0]
         d0 = make_data(model)
         d0 = d0.replace(qacc=jnp.zeros_like(d0.qvel))
+        d0 = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (P,) + x.shape), d0)
+
+        def one_sub(dd):
+            dd = engine.step(model, dd,
+                             solver_iterations=solver_iterations,
+                             ls_iterations=ls_iterations,
+                             refactor_period=refactor_period)
+            return dd.strip()
 
         def ctrl_step(carry, k):
             d = carry
             t = k.astype(jnp.float32) * ctrl_dt
-            c = ctrl_fn(tb, theta, t)
+            c = jax.vmap(lambda th: ctrl_fn(tb, th, t))(thetas)
             d = d.replace(ctrl=c)
 
             def sub(dd, _):
-                dd = engine.step(model, dd,
-                                 solver_iterations=solver_iterations,
-                                 ls_iterations=ls_iterations,
-                                 refactor_period=refactor_period)
-                return dd.strip(), None
+                return jax.vmap(one_sub)(dd), None
 
             d, _ = jax.lax.scan(sub, d, None, length=n_sub)
-            out = (d.qpos, d.qvel) if record else (d.qpos[0:3],
-                                                   d.qpos[3:7])
+            out = (d.qpos, d.qvel) if record else (d.qpos[:, 0:3],
+                                                   d.qpos[:, 3:7])
             return d, out
 
         d, trace = jax.lax.scan(ctrl_step, d0,
                                 jnp.arange(n_ctrl_steps))
         if record:
-            return trace
+            # (T, P, nq/nv) -> (P, T, ...)
+            return tuple(jnp.swapaxes(x, 0, 1) for x in trace)
 
-        pos, quat = trace  # (T, 3), (T, 4)
-        # Forward displacement along the initial heading (x-axis of the
-        # root frame at t=0 projected to the ground plane).
-        from flybody_tpu.utils import quaternions as quat_lib
-        fwd0 = quat_lib.rotate_vec_with_quat(
-            jnp.array([1.0, 0.0, 0.0]), quat[0])
-        fwd0 = fwd0.at[2].set(0.0)
-        fwd0 = fwd0 / jnp.maximum(1e-6, jnp.linalg.norm(fwd0))
-        disp = jnp.dot(pos[-1, :2] - pos[0, :2], fwd0[:2])
-        # Upright: body z-axis world-z component.
-        upz = jax.vmap(lambda q: quat_lib.rotate_vec_with_quat(
-            jnp.array([0.0, 0.0, 1.0]), q)[2])(quat)
-        z = pos[:, 2]
-        fallen = jnp.mean(((z < 0.05) | (upz < 0.3)).astype(jnp.float32))
-        bad = ~jnp.isfinite(disp)
-        fit = disp - 2.0 * fallen
-        return jnp.where(bad, -10.0, fit)
+        pos, quat = trace  # (T, P, 3), (T, P, 4)
+        pos = jnp.swapaxes(pos, 0, 1)    # (P, T, 3)
+        quat = jnp.swapaxes(quat, 0, 1)  # (P, T, 4)
+        return jax.vmap(_fitness)(pos, quat)
 
     return rollout
+
+
+def _fitness(pos, quat):
+    """Fitness of one rollout trace: pos (T, 3), quat (T, 4)."""
+    # Forward displacement along the initial heading (x-axis of the
+    # root frame at t=0 projected to the ground plane).
+    from flybody_tpu.utils import quaternions as quat_lib
+    fwd0 = quat_lib.rotate_vec_with_quat(
+        jnp.array([1.0, 0.0, 0.0]), quat[0])
+    fwd0 = fwd0.at[2].set(0.0)
+    fwd0 = fwd0 / jnp.maximum(1e-6, jnp.linalg.norm(fwd0))
+    disp = jnp.dot(pos[-1, :2] - pos[0, :2], fwd0[:2])
+    # Upright: body z-axis world-z component.
+    upz = jax.vmap(lambda q: quat_lib.rotate_vec_with_quat(
+        jnp.array([0.0, 0.0, 1.0]), q)[2])(quat)
+    z = pos[:, 2]
+    fallen = jnp.mean(((z < 0.05) | (upz < 0.3)).astype(jnp.float32))
+    bad = ~jnp.isfinite(disp)
+    fit = disp - 2.0 * fallen
+    return jnp.where(bad, -10.0, fit)
 
 
 def cem_search(model, pop=4096, gens=12, steps=300, elite_frac=0.1,
                seed=0, log=print):
     tb = build(model)
-    fit_fn = jax.jit(jax.vmap(make_rollout(model, tb, steps)))
+    fit_fn = jax.jit(make_rollout(model, tb, steps))
     mu = np.zeros(DIM, np.float32)
     # Seed a plausible tripod: swing legs fore-aft with the 'coxa' and
     # 'femur' slots, adhesion half a cycle out of swing.
@@ -217,7 +236,7 @@ def record_dataset(model, theta, out_path, steps=500, variants=None,
         variants = [(0.0, 0.0), (-0.8, 0.0), (0.8, 0.0),
                     (0.0, 0.25), (0.0, -0.25), (-0.4, 0.15),
                     (0.4, -0.15), (0.0, 0.4)]
-    qpos_list, qvel_list = [], []
+    thetas = []
     for dfreq, turn in variants:
         th = np.array(theta, np.float32).copy()
         th[6 * ns + 2] += dfreq
@@ -225,8 +244,11 @@ def record_dataset(model, theta, out_path, steps=500, variants=None,
         th[2 * ns:3 * ns] = np.arctanh(
             np.clip(np.tanh(th[2 * ns:3 * ns]) * (1.0 + turn),
                     -0.99, 0.99))
-        qp, qv = roll(jnp.asarray(th))
-        qp, qv = np.asarray(qp), np.asarray(qv)
+        thetas.append(th)
+    qps, qvs = roll(jnp.asarray(np.stack(thetas)))  # (P, T, nq/nv)
+    qps, qvs = np.asarray(qps), np.asarray(qvs)
+    qpos_list, qvel_list = [], []
+    for (dfreq, turn), qp, qv in zip(variants, qps, qvs):
         if not (np.isfinite(qp).all() and np.isfinite(qv).all()):
             log(f'[gait-record] variant ({dfreq:+.1f}, {turn:+.2f}) '
                 'diverged; skipped')

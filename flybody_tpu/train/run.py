@@ -124,6 +124,12 @@ def main(argv=None):
                         'tasks: the snapshot is frozen as the low-level '
                         'policy and DMPO trains the HL steering net '
                         '(reference network_factory_vis.py:19-52).')
+    p.add_argument('--bench-solver', action='store_true',
+                   help='train with the bench.py solver settings '
+                        '(8 Newton iters, ls 6, ncon 32, refactor 8, '
+                        'noslip on 16 contacts) instead of the shipped '
+                        'accurate regime — the evidence run for "does '
+                        'the fast solver preserve training quality".')
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--cpu', action='store_true',
                    help='force the CPU backend (the axon TPU platform '
@@ -144,6 +150,10 @@ def main(argv=None):
     if args.ref_path and args.task in ('walk_imitation',
                                        'flight_imitation'):
         env_kwargs['ref_path'] = args.ref_path
+    if args.bench_solver:
+        env_kwargs.update(solver_iterations=8, ls_iterations=6,
+                          ncon_max=32, refactor_period=8,
+                          noslip_contacts=16)
     env = cast_env_f32(make_env(args.task, **env_kwargs))
 
     two_level = args.ll_snapshot and args.task.startswith('vision')

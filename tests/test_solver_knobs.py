@@ -83,3 +83,27 @@ def test_active_contacts_fit_k32(model):
     n_active = int(np.sum(np.asarray(con.dist)
                           < np.asarray(params.includemargin)))
     assert n_active <= 24, n_active
+
+
+def test_ncon24_solver_accuracy(model):
+    """ncon_max=24 (the round-3 bench default candidate, +6% measured on
+    TPU) from a contact-rich randomly actuated state: qacc must track the
+    converged big-slot solution, i.e. top-24 depth selection is not
+    dropping force-bearing contacts."""
+    d0 = _settle(model)
+    rng = np.random.RandomState(3)
+    lo = np.asarray(model.actuator_ctrlrange)[:, 0]
+    hi = np.asarray(model.actuator_ctrlrange)[:, 1]
+    d = d0
+    # Random actuation rollout into a leggy, contact-rich pose.
+    for k in range(6):
+        ctrl = lo + (hi - lo) * rng.rand(len(lo))
+        d = d.replace(ctrl=jnp.asarray(ctrl, d.qpos.dtype))
+        d = _rollout(model, d, 5, solver_iterations=8, ls_iterations=6)
+    ref = engine.fwd(model, d, solver_iterations=25, ls_iterations=12,
+                     ncon_max=64)
+    fast = engine.fwd(model, d, solver_iterations=8, ls_iterations=6,
+                      ncon_max=24, refactor_period=8, noslip_contacts=16)
+    scale = np.abs(np.asarray(ref.qacc)).max()
+    err = np.abs(np.asarray(fast.qacc) - np.asarray(ref.qacc)).max()
+    assert err / scale < 2e-2, (err, scale)
