@@ -32,11 +32,13 @@ def main():
 
     from flybody_tpu.envs import fly_envs
 
-    # Perf configuration (overridable for A/B runs): 32 contact slots
-    # cover the walking scene's ~9 active contacts with 3.5x headroom;
-    # refactor_period=2 refreshes the Newton Hessian factor every other
-    # iteration; noslip runs on the 16 deepest slots.
-    ncon = int(os.environ.get('BENCH_NCON', 32))
+    # Perf configuration (overridable for A/B runs): 24 contact slots
+    # cover the walking scene's ~9 active contacts (random-actuation
+    # contact-rich poses measured <= 24 active; qacc accuracy vs the
+    # converged 64-slot solve asserted by
+    # tests/test_solver_knobs.py::test_ncon24_solver_accuracy; +6%
+    # bench vs 32 measured on v5e). noslip runs on the 16 deepest slots.
+    ncon = int(os.environ.get('BENCH_NCON', 24))
     # refactor_period=8 at 8 iterations (1 fresh + 7 reuse steps): the
     # fused reuse kernel is ~1.2 ms/iter vs ~13 ms for a fresh
     # factor+solve iteration, and accuracy stays in the shipped regime

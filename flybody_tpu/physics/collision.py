@@ -726,15 +726,18 @@ def _cc_compact(model: FlyModel, data: Data,
     oh = jax.nn.one_hot(idx, n_all, dtype=dtype)  # (P, n_all)
     # Selected pose rows via small per-geom one-hots straight off gcat
     # (geom ids ride the pair one-hot GEMM -- traced int gathers lower
-    # to per-row loops on TPU).
-    g1f = oh @ jnp.asarray(np.asarray(g1, np.float64), dtype)
-    g2f = oh @ jnp.asarray(np.asarray(g2, np.float64), dtype)
-    oh1 = jax.nn.one_hot(jnp.round(g1f).astype(jnp.int32), ngeom,
-                         dtype=dtype)
-    oh2 = jax.nn.one_hot(jnp.round(g2f).astype(jnp.int32), ngeom,
-                         dtype=dtype)
-    pos1, mat1 = _split_cat(oh1 @ gcat)
-    pos2, mat2 = _split_cat(oh2 @ gcat)
+    # to per-row loops on TPU). Both endpoints' ids come through ONE
+    # constant-RHS GEMM, and both pose-row gathers through ONE batched
+    # GEMM (2P tall) — batched matmul instances are tiny at batch and
+    # serialize on the MXU, so instance count is what costs.
+    g12 = oh @ jnp.asarray(np.stack([np.asarray(g1, np.float64),
+                                     np.asarray(g2, np.float64)], -1),
+                           dtype)  # (P, 2)
+    oh12 = jax.nn.one_hot(jnp.round(g12).astype(jnp.int32), ngeom,
+                          dtype=dtype)  # (P, 2, ngeom)
+    c12 = jnp.swapaxes(oh12, 0, 1).reshape(2 * P, ngeom) @ gcat
+    pos1, mat1 = _split_cat(c12[:P])
+    pos2, mat2 = _split_cat(c12[P:])
     # Static per-pair table [size1 | mg1 | size2 | mg2 | efc(14) | gid].
     sz = jnp.asarray(model.geom_size).astype(dtype)
     efc_tab = efc_slot_table(model, dtype=dtype)[
@@ -815,15 +818,17 @@ def _mpr_merged(model: FlyModel, data: Data, gcat: jax.Array,
     oh = jax.nn.one_hot(idx, n_all, dtype=dtype)  # (P, n_all)
     # Selected pose rows via small per-geom one-hots straight off gcat
     # (geom ids ride the pair one-hot GEMM -- traced int gathers lower
-    # to per-row loops on TPU).
-    g1f = oh @ jnp.asarray(np.asarray(g1, np.float64), dtype)
-    g2f = oh @ jnp.asarray(np.asarray(g2, np.float64), dtype)
-    oh1 = jax.nn.one_hot(jnp.round(g1f).astype(jnp.int32), ngeom,
-                         dtype=dtype)
-    oh2 = jax.nn.one_hot(jnp.round(g2f).astype(jnp.int32), ngeom,
-                         dtype=dtype)
-    pos1, mat1 = _split_cat(oh1 @ gcat)
-    pos2, mat2 = _split_cat(oh2 @ gcat)
+    # to per-row loops on TPU). Both endpoints through ONE id GEMM and
+    # ONE (2P)-tall pose GEMM — batched matmul instances serialize on
+    # the MXU, so instance count is what costs at batch.
+    g12 = oh @ jnp.asarray(np.stack([np.asarray(g1, np.float64),
+                                     np.asarray(g2, np.float64)], -1),
+                           dtype)  # (P, 2)
+    oh12 = jax.nn.one_hot(jnp.round(g12).astype(jnp.int32), ngeom,
+                          dtype=dtype)  # (P, 2, ngeom)
+    c12 = jnp.swapaxes(oh12, 0, 1).reshape(2 * P, ngeom) @ gcat
+    pos1, mat1 = _split_cat(c12[:P])
+    pos2, mat2 = _split_cat(c12[P:])
     # Static per-pair table [size1|mg1|size2|mg2|t1|t2|smooth] (n_all, 11).
     sz = jnp.asarray(model.geom_size).astype(dtype)
     ucat = jnp.concatenate([

@@ -255,10 +255,27 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
 
     _, lsel = jax.lax.top_k(-cand_s, k)
     oh = jax.nn.one_hot(lsel, cand_s.shape[0], dtype=dtype)
-    bsel = oh @ cand_b
-    usel = oh @ cand_u
+    if compact:
+        # ONE fused gather GEMM: in the compact path every candidate
+        # table is batched (the blocks' params are per-env), and at
+        # batch each (k, P) batched matmul instance is tiny and
+        # serializes on the MXU — three separate gathers paid that
+        # pipeline cost three times.
+        cand_all = jnp.concatenate([cand_b, cand_u, cand_g[:, None]], -1)
+        sel_all = oh @ cand_all
+        nb_, nu_ = cand_b.shape[-1], cand_u.shape[-1]
+        bsel = sel_all[:, :nb_]
+        usel = sel_all[:, nb_:nb_ + nu_]
+        gsel = sel_all[:, nb_ + nu_]
+    else:
+        # Non-compact (parity/test) path: cand_u/cand_g stay unbatched
+        # model constants — separate GEMMs avoid broadcasting a
+        # (B, S, 15) table.
+        bsel = oh @ cand_b
+        usel = oh @ cand_u
+        gsel = oh @ cand_g
     # Global slot ids (exact small ints through the f32 one-hot GEMM).
-    sel = jnp.round(oh @ cand_g).astype(jnp.int32)
+    sel = jnp.round(gsel).astype(jnp.int32)
 
     c_dist = bsel[:, 0]
     c_pos = bsel[:, 1:4]

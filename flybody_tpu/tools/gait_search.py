@@ -120,31 +120,41 @@ def ctrl_fn(tb, theta, t):
 
 
 def make_rollout(model, tb, n_ctrl_steps, n_sub=10, ctrl_dt=2e-3,
-                 solver_iterations=6, ls_iterations=6, refactor_period=4,
-                 record=False):
+                 solver_iterations=8, ls_iterations=6, refactor_period=8,
+                 record=False, chunk: int = 50):
     """thetas (P, DIM) -> fitness (P,) (or the qpos/qvel traces).
 
     Batched-first: the loop structure is scan(vmap(engine.step)), NOT
     vmap(scan(step)) — jax's scan-batching replays the stage kernels'
     custom_vmap rules in a context that leaks tracers into lowering
-    constants (same commutation as envs/base._build_substeps_core)."""
+    constants (same commutation as envs/base._build_substeps_core).
+
+    The device program covers `chunk` control steps; the full rollout is
+    driven by a HOST loop over chunks. A single device program scanning
+    all n_ctrl_steps x n_sub engine steps (3000 at the CLI defaults)
+    crashes the axon TPU worker — the round-1 'long-scan fault' class —
+    while chunked programs of <=500 engine steps run clean. Solver
+    settings match the bench regime (8/6, refactor 8), whose kernel
+    specializations are exercised daily."""
     from flybody_tpu.physics import engine
     from flybody_tpu.physics.state import make_data
 
-    def rollout(thetas):
+    def init_fn(thetas):
         P = thetas.shape[0]
         d0 = make_data(model)
         d0 = d0.replace(qacc=jnp.zeros_like(d0.qvel))
-        d0 = jax.tree.map(
+        return jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (P,) + x.shape), d0)
 
-        def one_sub(dd):
-            dd = engine.step(model, dd,
-                             solver_iterations=solver_iterations,
-                             ls_iterations=ls_iterations,
-                             refactor_period=refactor_period)
-            return dd.strip()
+    def one_sub(dd):
+        dd = engine.step(model, dd,
+                         solver_iterations=solver_iterations,
+                         ls_iterations=ls_iterations,
+                         refactor_period=refactor_period)
+        return dd.strip()
 
+    def chunk_fn(d, thetas, k0):
+        """Runs `chunk` control steps from control index k0."""
         def ctrl_step(carry, k):
             d = carry
             t = k.astype(jnp.float32) * ctrl_dt
@@ -159,16 +169,33 @@ def make_rollout(model, tb, n_ctrl_steps, n_sub=10, ctrl_dt=2e-3,
                                                    d.qpos[:, 3:7])
             return d, out
 
-        d, trace = jax.lax.scan(ctrl_step, d0,
-                                jnp.arange(n_ctrl_steps))
-        if record:
-            # (T, P, nq/nv) -> (P, T, ...)
-            return tuple(jnp.swapaxes(x, 0, 1) for x in trace)
+        d, trace = jax.lax.scan(ctrl_step, d,
+                                k0 + jnp.arange(chunk))
+        return d, trace
 
-        pos, quat = trace  # (T, P, 3), (T, P, 4)
-        pos = jnp.swapaxes(pos, 0, 1)    # (P, T, 3)
-        quat = jnp.swapaxes(quat, 0, 1)  # (P, T, 4)
-        return jax.vmap(_fitness)(pos, quat)
+    jit_init = jax.jit(init_fn)
+    jit_chunk = jax.jit(chunk_fn)
+
+    def rollout(thetas):
+        d = jit_init(thetas)
+        traces = []
+        for k0 in range(0, n_ctrl_steps, chunk):
+            d, trace = jit_chunk(d, thetas, jnp.int32(k0))
+            traces.append(trace)
+        if record:
+            # list of (chunk, P, nq/nv) -> (P, T, ...)
+            qp = jnp.concatenate([t[0] for t in traces],
+                                 axis=0)[:n_ctrl_steps]
+            qv = jnp.concatenate([t[1] for t in traces],
+                                 axis=0)[:n_ctrl_steps]
+            return jnp.swapaxes(qp, 0, 1), jnp.swapaxes(qv, 0, 1)
+        pos = jnp.concatenate(
+            [t[0] for t in traces], 0)[:n_ctrl_steps]   # (T, P, 3)
+        quat = jnp.concatenate(
+            [t[1] for t in traces], 0)[:n_ctrl_steps]  # (T, P, 4)
+        pos = jnp.swapaxes(pos, 0, 1)
+        quat = jnp.swapaxes(quat, 0, 1)
+        return jax.jit(jax.vmap(_fitness))(pos, quat)
 
     return rollout
 
@@ -196,7 +223,7 @@ def _fitness(pos, quat):
 def cem_search(model, pop=4096, gens=12, steps=300, elite_frac=0.1,
                seed=0, log=print):
     tb = build(model)
-    fit_fn = jax.jit(make_rollout(model, tb, steps))
+    fit_fn = make_rollout(model, tb, steps)  # host-chunked
     mu = np.zeros(DIM, np.float32)
     # Seed a plausible tripod: swing legs fore-aft with the 'coxa' and
     # 'femur' slots, adhesion half a cycle out of swing.
@@ -229,7 +256,7 @@ def record_dataset(model, theta, out_path, steps=500, variants=None,
     """Rolls gait variants and writes the reference-schema HDF5."""
     from flybody_tpu.tools import make_test_dataset as mtd
     tb = build(model)
-    roll = jax.jit(make_rollout(model, tb, steps, record=True))
+    roll = make_rollout(model, tb, steps, record=True)
     ns = N_SLOTS
     if variants is None:
         # (freq delta on the sigmoid logit, left/right amp asymmetry)
