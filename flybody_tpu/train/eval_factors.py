@@ -1,0 +1,124 @@
+"""Per-factor reward evaluation for imitation tasks.
+
+Rolls the deterministic (mean) target policy and reports the mean of
+each DeepMimic reward factor separately (com, qvel, root2site,
+joint_quat x weights (20,1,1,1) for walking — reference
+flybody/tasks/rewards.py:84-116), so "which factor is holding the
+product down" is visible. VERDICT r2 asks for walking runs where the
+per-factor rewards approach their ceilings (each factor's ceiling is
+1.0; the product's is 1.0 too since factors multiply).
+
+Usage:
+    python -m flybody_tpu.train.eval_factors --task walk_imitation \
+        --ref-path datasets/walk_engine.h5 --ckpt-dir /root/ckpts/walk
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flybody_tpu.agents import networks as nets_lib
+from flybody_tpu.agents.checkpointing import load_policy_snapshot
+from flybody_tpu.agents.dmpo import DMPOConfig, DMPOLearner
+from flybody_tpu.envs.base import LAST
+from flybody_tpu.train.run import cast_env_f32, make_env
+
+
+def eval_factors(env, policy_apply, params, rng, num_envs=64,
+                 max_steps=200):
+    """Mean per-factor rewards over deterministic rollouts."""
+    dtype = jnp.asarray(env.model.qpos0).dtype
+
+    def rollout(rng):
+        state, ts = env.reset(rng)
+        obs = nets_lib.batch_concat(ts.observation, batched=False)
+
+        def body(carry, _):
+            state, obs, done = carry
+            dist = policy_apply(params, obs.astype(jnp.float32)[None])
+            action = dist.mean[0]
+            new_state, ts = env.step(state, action.astype(dtype))
+            fkd = env._fk(new_state.data)
+            factors = env._reward_factors(new_state, fkd)
+            new_obs = nets_lib.batch_concat(ts.observation,
+                                            batched=False)
+            live = (~done).astype(dtype)
+            done = done | (ts.step_type == LAST)
+            return (new_state, new_obs, done), (factors * live, live)
+
+        init = (state, obs, jnp.zeros((), bool))
+        _, (facs, lives) = jax.lax.scan(body, init, None,
+                                        length=max_steps)
+        n = jnp.maximum(jnp.sum(lives), 1.0)
+        return jnp.sum(facs, axis=0) / n, jnp.sum(lives)
+
+    rngs = jax.random.split(rng, num_envs)
+    facs, steps = jax.vmap(rollout)(rngs)
+    return jnp.mean(facs, axis=0), jnp.mean(steps)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument('--task', default='walk_imitation')
+    p.add_argument('--ref-path', default=None)
+    p.add_argument('--ckpt-dir', required=True)
+    p.add_argument('--num-envs', type=int, default=64)
+    p.add_argument('--max-steps', type=int, default=200)
+    p.add_argument('--random-baseline', action='store_true')
+    p.add_argument('--bench-solver', action='store_true', default=True)
+    p.add_argument('--cpu', action='store_true')
+    args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+
+    env_kwargs = {}
+    if args.ref_path:
+        env_kwargs['ref_path'] = args.ref_path
+    if args.bench_solver:
+        env_kwargs.update(solver_iterations=8, ls_iterations=6,
+                          ncon_max=32, refactor_period=8,
+                          noslip_contacts=16)
+    env = cast_env_f32(make_env(args.task, **env_kwargs))
+    obs_dim = int(sum(np.prod(v.shape)
+                      for v in env.observation_spec().values()))
+    learner = DMPOLearner(obs_dim, env.tables.num_actions, DMPOConfig(),
+                          action_min=env.action_min,
+                          action_max=env.action_max)
+    params_like = learner.init(jax.random.PRNGKey(0)).policy_params
+    import os
+    params = load_policy_snapshot(
+        os.path.join(os.path.abspath(args.ckpt_dir), 'policy'),
+        params_like)
+    fn = jax.jit(lambda r: eval_factors(env, learner.policy.apply,
+                                        params, r,
+                                        num_envs=args.num_envs,
+                                        max_steps=args.max_steps))
+    facs, steps = fn(jax.random.PRNGKey(1))
+    facs, steps = np.asarray(facs), float(steps)
+    names = ('com', 'qvel', 'root2site', 'joint_quat', 'wings_retract')
+    out = {n: round(float(f), 4)
+           for n, f in zip(names, np.ravel(facs))}
+    out['mean_episode_steps'] = round(steps, 1)
+    out['product'] = round(float(np.prod(np.ravel(facs))), 4)
+    print(json.dumps(out))
+
+    if args.random_baseline:
+        params_r = params_like
+        fr, steps_r = jax.jit(
+            lambda r: eval_factors(env, learner.policy.apply, params_r,
+                                   r, num_envs=args.num_envs,
+                                   max_steps=args.max_steps))(
+            jax.random.PRNGKey(2))
+        outr = {n: round(float(f), 4)
+                for n, f in zip(names, np.ravel(fr))}
+        outr['product'] = round(float(np.prod(np.ravel(fr))), 4)
+        print('random_init_baseline:', json.dumps(outr))
+
+
+if __name__ == '__main__':
+    main()
