@@ -195,8 +195,15 @@ def main(argv=None):
                   f'{time.time() - t0:.1f} s', flush=True)
         logger.write(stats, force=(it in (0, args.iterations - 1)))
         if ckpt is not None:
-            ckpt.save(int(state.learner.steps),
-                      trainer.checkpoint_payload(state))
+            if ckpt.save(int(state.learner.steps),
+                         trainer.checkpoint_payload(state)):
+                # Keep a usable inference/controller-reuse snapshot next
+                # to every periodic checkpoint, so a killed run (or one
+                # cut short by a worker crash) still leaves a policy.
+                from flybody_tpu.agents.checkpointing import (
+                    save_policy_snapshot)
+                save_policy_snapshot(args.ckpt_dir, 'policy',
+                                     state.learner.target_policy_params)
     stats = {k: float(np.asarray(v)) for k, v in stats.items()
              if np.asarray(v).size == 1}
     print('final stats:', stats)
