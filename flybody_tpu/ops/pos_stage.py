@@ -43,13 +43,15 @@ from flybody_tpu.model import spec as _s
 
 # In-kernel dot precision. Most of these dots are one-hot gather/
 # scatter matmuls whose operand VALUES must survive rounding intact:
-# Precision.DEFAULT would round operands to bf16 (7-bit mantissa) and
-# break the 1e-4 reference-parity tolerances, so HIGHEST (6-pass
-# bf16x6, f32-faithful) is the default. FLYBODY_STAGE_PRECISION=high
-# selects 3-pass bf16x3 for measured-perf A/B runs (advisor r2 #3).
+# Precision.DEFAULT rounds operands to bf16 (7-bit mantissa) and breaks
+# the 1e-4 reference-parity tolerances, so HIGHEST (multi-pass bf16,
+# f32-faithful) is the default. Mosaic does not lower Precision.HIGH
+# (bf16x3) — measured on v5e 2026-08-19: NotImplementedError — so the
+# only A/B alternative is the lossy 'default'
+# (FLYBODY_STAGE_PRECISION=default, perf-probe only; fails parity).
 _DOT_PRECISION = {
     'highest': jax.lax.Precision.HIGHEST,
-    'high': jax.lax.Precision.HIGH,
+    'default': jax.lax.Precision.DEFAULT,
 }[os.environ.get('FLYBODY_STAGE_PRECISION', 'highest').strip().lower()]
 
 LANES = 128

@@ -31,35 +31,43 @@ from flybody_tpu.train.run import cast_env_f32, make_env
 
 def eval_factors(env, policy_apply, params, rng, num_envs=64,
                  max_steps=200):
-    """Mean per-factor rewards over deterministic rollouts."""
+    """Mean per-factor rewards over deterministic rollouts.
+
+    Structured as scan-over-time of vmap(env.step) — the same batching
+    commutation the trainer uses — because vmap(scan(step)) trips the
+    stage-fusion kernels' custom_vmap rules on TPU (tracer-as-constant
+    in the scanned jaxpr)."""
     dtype = jnp.asarray(env.model.qpos0).dtype
 
-    def rollout(rng):
-        state, ts = env.reset(rng)
-        obs = nets_lib.batch_concat(ts.observation, batched=False)
-
-        def body(carry, _):
-            state, obs, done = carry
-            dist = policy_apply(params, obs.astype(jnp.float32)[None])
-            action = dist.mean[0]
-            new_state, ts = env.step(state, action.astype(dtype))
-            fkd = env._fk(new_state.data)
-            factors = env._reward_factors(new_state, fkd)
-            new_obs = nets_lib.batch_concat(ts.observation,
-                                            batched=False)
-            live = (~done).astype(dtype)
-            done = done | (ts.step_type == LAST)
-            return (new_state, new_obs, done), (factors * live, live)
-
-        init = (state, obs, jnp.zeros((), bool))
-        _, (facs, lives) = jax.lax.scan(body, init, None,
-                                        length=max_steps)
-        n = jnp.maximum(jnp.sum(lives), 1.0)
-        return jnp.sum(facs, axis=0) / n, jnp.sum(lives)
-
     rngs = jax.random.split(rng, num_envs)
-    facs, steps = jax.vmap(rollout)(rngs)
-    return jnp.mean(facs, axis=0), jnp.mean(steps)
+    states, ts = jax.vmap(env.reset)(rngs)
+    obs = nets_lib.batch_concat(ts.observation, batched=True)
+    # Canonical [-1, 1] policy actions -> real env actions (same mapping
+    # as the trainer's behavior policy).
+    lo = jnp.asarray(env.action_min, dtype)
+    hi = jnp.asarray(env.action_max, dtype)
+
+    def body(carry, _):
+        states, obs, done = carry
+        dist = policy_apply(params, obs.astype(jnp.float32))
+        actions = jnp.clip(dist.mean, -1.0, 1.0).astype(dtype)
+        real = 0.5 * (actions + 1.0) * (hi - lo) + lo
+        new_states, ts = jax.vmap(env.step)(states, real)
+        fkd = jax.vmap(env._fk)(new_states.data)
+        factors = jax.vmap(env._reward_factors)(new_states, fkd)
+        new_obs = nets_lib.batch_concat(ts.observation, batched=True)
+        live = (~done).astype(dtype)
+        done = done | (ts.step_type == LAST)
+        return ((new_states, new_obs, done),
+                (factors * live[:, None], live))
+
+    init = (states, obs, jnp.zeros((num_envs,), bool))
+    _, (facs, lives) = jax.lax.scan(body, init, None, length=max_steps)
+    # facs: (T, B, F); lives: (T, B). Per-env live-step mean, then mean
+    # over envs.
+    n = jnp.maximum(jnp.sum(lives, axis=0), 1.0)
+    per_env = jnp.sum(facs, axis=0) / n[:, None]
+    return jnp.mean(per_env, axis=0), jnp.mean(jnp.sum(lives, axis=0))
 
 
 def main(argv=None):

@@ -35,35 +35,42 @@ def evaluate(env: FruitFlyEnv, policy_apply, policy_params, rng,
     steps = max_steps or env.max_steps
     dtype = jnp.asarray(env.model.qpos0).dtype
 
-    def rollout(rng):
-        r_reset, r_act = jax.random.split(rng)
-        state, ts = env.reset(r_reset)
-        obs = nets_lib.batch_concat(ts.observation, batched=False)
+    # scan-over-time of vmap(env.step) — same batching commutation as the
+    # trainer; vmap(scan(step)) trips the stage-fusion kernels'
+    # custom_vmap rules on TPU (tracer-as-constant in the scanned jaxpr).
+    r_reset, r_act = jax.random.split(rng)
+    rngs = jax.random.split(r_reset, num_envs)
+    states, ts = jax.vmap(env.reset)(rngs)
+    obs = nets_lib.batch_concat(ts.observation, batched=True)
 
-        def body(carry, r):
-            state, obs, ret, length, done = carry
-            dist = policy_apply(policy_params,
-                                obs.astype(jnp.float32)[None])
-            if stochastic:
-                action = dist.sample(r)[0]
-            else:
-                action = dist.mean[0]
-            state, ts = env.step(state, action.astype(dtype))
-            new_obs = nets_lib.batch_concat(ts.observation, batched=False)
-            live = ~done
-            ret = ret + live * ts.reward
-            length = length + live.astype(jnp.int32)
-            done = done | (ts.step_type == LAST)
-            return (state, new_obs, ret, length, done), None
+    # The policy acts in the canonical [-1, 1] space (the critic clips
+    # there, reference network_factory.py:95-100); env.step takes REAL
+    # actions — map exactly as the trainer's behavior policy does.
+    lo = jnp.asarray(env.action_min, dtype)
+    hi = jnp.asarray(env.action_max, dtype)
 
-        init = (state, obs, jnp.zeros((), dtype),
-                jnp.zeros((), jnp.int32), jnp.zeros((), bool))
-        rs = jax.random.split(r_act, steps)
-        (state, obs, ret, length, done), _ = jax.lax.scan(body, init, rs)
-        return ret, length, done
+    def body(carry, r):
+        states, obs, ret, length, done = carry
+        dist = policy_apply(policy_params, obs.astype(jnp.float32))
+        if stochastic:
+            actions = dist.sample(r)
+        else:
+            actions = dist.mean
+        actions = jnp.clip(actions, -1.0, 1.0).astype(dtype)
+        real = 0.5 * (actions + 1.0) * (hi - lo) + lo
+        states, ts = jax.vmap(env.step)(states, real)
+        new_obs = nets_lib.batch_concat(ts.observation, batched=True)
+        live = ~done
+        ret = ret + live * ts.reward
+        length = length + live.astype(jnp.int32)
+        done = done | (ts.step_type == LAST)
+        return (states, new_obs, ret, length, done), None
 
-    rngs = jax.random.split(rng, num_envs)
-    rets, lengths, dones = jax.vmap(rollout)(rngs)
+    init = (states, obs, jnp.zeros((num_envs,), dtype),
+            jnp.zeros((num_envs,), jnp.int32),
+            jnp.zeros((num_envs,), bool))
+    rs = jax.random.split(r_act, steps)
+    (states, obs, rets, lengths, dones), _ = jax.lax.scan(body, init, rs)
     return {
         'episode_return_mean': jnp.mean(rets),
         'episode_return_min': jnp.min(rets),

@@ -86,6 +86,40 @@ def test_policy_snapshot_roundtrip(tmp_path):
         restored, state.learner.target_policy_params)
 
 
+def test_learner_frozen_until_replay_warm():
+    """The resume story depends on the warm gate: with a high
+    min_replay_fraction (run.py --resume-warm-fraction sets this on
+    restore), learner params must stay bit-frozen while the
+    non-checkpointed replay buffer refills, and update once it is warm."""
+    env = cast_env_f32(make_env('walk_on_ball'))
+    cfg = TrainConfig(num_envs=2, rollout_length=5, replay_capacity=64,
+                      min_replay_fraction=0.5, learner_steps_per_iter=2,
+                      dmpo=DMPOConfig(batch_size=8, num_samples=2,
+                                      n_step=3, min_replay_size=8))
+    trainer = DMPOTrainer(env, cfg)
+    step = jax.jit(trainer.train_iteration)
+    state = trainer.init(jax.random.PRNGKey(3))
+    p0 = jax.tree.map(np.asarray, state.learner.policy_params)
+
+    state, _ = step(state)
+    frozen = jax.tree.map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), b)),
+        state.learner.policy_params, p0)
+    assert all(jax.tree.leaves(frozen)), (
+        'learner updated before replay reached min_replay_fraction')
+
+    changed = False
+    for _ in range(8):
+        state, _ = step(state)
+        changed = not all(jax.tree.leaves(jax.tree.map(
+            lambda a, b: bool(np.array_equal(np.asarray(a), b)),
+            state.learner.policy_params, p0)))
+        if changed:
+            break
+    assert changed, 'learner never unfroze after replay warmed'
+    assert int(state.replay.size) >= 32
+
+
 def test_replay_exclusion_is_explicit():
     """The checkpoint payload must never silently grow the replay buffer
     into the save (orbax big saves have crashed the TPU worker); the
