@@ -111,12 +111,14 @@ def main():
     dt = (time.perf_counter() - t0) / n_rep
     env_steps_per_s = batch * steps / dt
 
-    print(json.dumps({
+    result = {
         'metric': f'{task} env-steps/s/chip (batch {batch})',
         'value': round(env_steps_per_s, 1),
         'unit': 'env-steps/s',
         'vs_baseline': round(env_steps_per_s / TARGET, 4),
-    }))
+    }
+    print(json.dumps(result))
+    return result
 
 
 def main_with_fallback():

@@ -49,10 +49,23 @@ from flybody_tpu.model import spec as _s
 # (bf16x3) — measured on v5e 2026-08-19: NotImplementedError — so the
 # only A/B alternative is the lossy 'default'
 # (FLYBODY_STAGE_PRECISION=default, perf-probe only; fails parity).
-_DOT_PRECISION = {
-    'highest': jax.lax.Precision.HIGHEST,
-    'default': jax.lax.Precision.DEFAULT,
-}[os.environ.get('FLYBODY_STAGE_PRECISION', 'highest').strip().lower()]
+def _stage_precision():
+    v = os.environ.get('FLYBODY_STAGE_PRECISION', 'highest').strip().lower()
+    if v == 'high':  # legacy round-2 value; Mosaic cannot lower bf16x3
+        import warnings
+        warnings.warn("FLYBODY_STAGE_PRECISION=high is not lowerable by "
+                      "Mosaic on TPU; using 'highest'", stacklevel=2)
+        v = 'highest'
+    table = {'highest': jax.lax.Precision.HIGHEST,
+             'default': jax.lax.Precision.DEFAULT}
+    if v not in table:
+        raise ValueError(
+            f"FLYBODY_STAGE_PRECISION={v!r}: valid options are 'highest' "
+            "(f32-faithful, default) or 'default' (lossy bf16 operands)")
+    return table[v]
+
+
+_DOT_PRECISION = _stage_precision()
 
 LANES = 128
 _EPS = 1e-15

@@ -175,7 +175,10 @@ def main(argv=None):
                             time_delta_minutes=args.ckpt_minutes)
     resuming = ckpt is not None and ckpt.latest_step is not None
     min_fraction = 0.002 if not args.test else 0.0
-    if resuming:
+    if resuming and not args.test:
+        # (--test smoke runs keep the gate off: a 3-iteration resume at
+        # warm-fraction 0.25 of a 4096 buffer would perform zero learner
+        # updates and silently exercise nothing.)
         # Replay is not checkpointed (see checkpoint_payload): hold the
         # learner until the buffer has refilled with diverse on-policy
         # experience from the restored policy.

@@ -37,11 +37,16 @@ def main():
             cfg[k] = v
         print(f'### config: {cfg or "defaults"}', flush=True)
         try:
-            bench.main()
+            r = bench.main()
+            results.append({'config': cfg, 'result': r})
         except Exception as e:  # noqa: BLE001 - record and continue the sweep
-            print(json.dumps({'config': cfg, 'error': repr(e)[:200]}),
-                  flush=True)
-        results.append(cfg)
+            entry = {'config': cfg, 'error': repr(e)[:200]}
+            print(json.dumps(entry), flush=True)
+            results.append(entry)
+    # Combined summary (one JSON array) so the sweep is machine-readable
+    # without scraping interleaved bench stdout.
+    print('### summary')
+    print(json.dumps(results), flush=True)
 
 
 if __name__ == '__main__':
