@@ -3,8 +3,8 @@
 Each hot op has a plain-XLA fallback used off-TPU; this gate additionally
 lets the TPU path be disabled per kernel via the environment variable
 FLYBODY_NO_PALLAS — a comma-separated subset of {chol, noslip, mpr,
-linesearch, arrow, newton, narrow, posstage, forcestage, sensstage} or
-'all'. Used to bisect runtime faults (is it a Mosaic kernel or XLA?) and
+linesearch, arrow, newton, narrow, posstage, forcestage, sensstage,
+efcstage} or 'all'. Used to bisect runtime faults (is it a Mosaic kernel or XLA?) and
 to A/B kernel performance without code edits.
 
 The whole-stage fusion kernels (posstage, forcestage, sensstage) are ON
@@ -25,7 +25,8 @@ def _disabled() -> frozenset[str]:
         return frozenset()
     if v == 'all':
         return frozenset({'chol', 'noslip', 'mpr', 'linesearch',
-                          'arrow', 'newton', 'narrow', 'posstage', 'forcestage', 'sensstage'})
+                          'arrow', 'newton', 'narrow', 'posstage',
+                          'forcestage', 'sensstage', 'efcstage'})
     return frozenset(p.strip() for p in v.split(',') if p.strip())
 
 
@@ -33,7 +34,8 @@ def _disabled() -> frozenset[str]:
 # went 7/7 green on v5e, 2026-08-18): FLYBODY_STAGE_FUSION=0/false
 # disables them as a group (equivalent to listing
 # posstage,forcestage,sensstage in FLYBODY_NO_PALLAS).
-_STAGE_FUSION = frozenset({'posstage', 'forcestage', 'sensstage'})
+_STAGE_FUSION = frozenset({'posstage', 'forcestage', 'sensstage',
+                           'efcstage'})
 
 
 def _env_falsy(var: str) -> bool:

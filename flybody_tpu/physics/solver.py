@@ -150,6 +150,77 @@ def point_jacobian_diff(model: FlyModel, data: Data, body1, body2, pos):
     return jnp.swapaxes(contrib * w[:, :, None], 1, 2)  # (K, 3, nv)
 
 
+def _contact_rows_ref(cand_b, cand_u, cand_g, qvel, cdof, com_root,
+                      maskt, limb, k):
+    """XLA reference for ops/efc_stage.py: top-K contact selection +
+    row assembly on per-env arrays (single kinematic tree).
+
+    Args: cand_b (C, 7) [dist|pos|normal], cand_u (C, 14)
+    efc_slot_table rows, cand_g (C,), qvel (nv,), cdof (nv, 6),
+    com_root (3,), maskt (nv, nbody) dof-mask^T, limb (1, nbody)
+    limb-of-body (-1 outside the arrow partition).
+
+    Returns (con_J (k, 3, nv), scal (19, k)) — row layout documented in
+    ops/efc_stage.py.
+    """
+    dtype = cand_b.dtype
+    nbody = maskt.shape[1]
+    score = cand_b[:, 0] - cand_u[:, 0]
+    _, lsel = jax.lax.top_k(-score, k)
+    oh = jax.nn.one_hot(lsel, score.shape[0], dtype=dtype)
+    bsel = oh @ cand_b
+    usel = oh @ cand_u
+    gsel = oh @ cand_g
+
+    c_dist = bsel[:, 0]
+    c_pos = bsel[:, 1:4]
+    c_n = bsel[:, 4:7]
+    c_incl = usel[:, 0]
+    c_mu = usel[:, 1]
+    c_solref = usel[:, 2:4]
+    c_solimp = usel[:, 4:9]
+    condim = usel[:, 9]
+    diag_c = usel[:, 10]
+    b1f = usel[:, 11]
+    b2f = usel[:, 12]
+    c_self = usel[:, 13]
+    c_active = c_dist < c_incl
+
+    t1, t2 = make_frame(c_n)
+    frame = jnp.stack([c_n, t1, t2], axis=1)  # (k, 3, 3)
+    oh_b1 = jax.nn.one_hot(jnp.round(b1f).astype(jnp.int32), nbody,
+                           dtype=dtype)
+    oh_b2 = jax.nn.one_hot(jnp.round(b2f).astype(jnp.int32), nbody,
+                           dtype=dtype)
+    w = (oh_b2 - oh_b1) @ maskt.T  # (k, nv)
+    arm = c_pos - com_root[None, :]
+    gkr = jnp.concatenate(
+        [jnp.cross(arm[:, None, :], frame), frame], axis=-1)  # (k,3,6)
+    con_J = jnp.sum(gkr[:, :, None, :] * cdof[None, None, :, :],
+                    axis=-1) * w[:, None, :]  # (k, 3, nv)
+
+    l1 = oh_b1 @ limb[0]
+    l2 = oh_b2 @ limb[0]
+    c_break = ((jnp.abs(l1 - l2) > 0.5) & (l1 > -0.5)
+               & (l2 > -0.5)).astype(dtype)
+
+    r_c = c_dist - c_incl
+    K_c, B_c, imp_c = kbi(c_solref, c_solimp, r_c)
+    vel_c = jnp.sum(con_J * qvel[None, None, :], axis=-1)  # (k, 3)
+    aref_n = -B_c * vel_c[:, 0] - K_c * imp_c * r_c
+    aref_t = -B_c[:, None] * vel_c[:, 1:]
+    R_c = jnp.maximum((1.0 - imp_c) / imp_c * diag_c, 1e-12)
+
+    scal = jnp.stack([
+        c_dist, c_active.astype(dtype), (condim >= 3).astype(dtype),
+        c_mu, 1.0 / R_c, aref_n, aref_t[:, 0], aref_t[:, 1],
+        c_pos[:, 0], c_pos[:, 1], c_pos[:, 2],
+        c_n[:, 0], c_n[:, 1], c_n[:, 2],
+        b1f, b2f, c_self, c_break, gsel,
+    ], axis=0)  # (19, k)
+    return con_J, scal
+
+
 def make_efc(model: FlyModel, data: Data, con: _col.Contact,
              ncon_max: int = NCON_MAX, terrain: bool = False) -> EfcRows:
     """Assemble constraint rows: joint limits + top-K contacts."""
@@ -252,6 +323,46 @@ def make_efc(model: FlyModel, data: Data, con: _col.Contact,
         cand_u = jnp.concatenate(
             [cand_u] + [b.params for b in con.blocks], axis=0)
         cand_g = jnp.concatenate([cand_g] + [b.idx for b in con.blocks])
+
+    # ------------------------------------------------------------------
+    # Contact-row selection + assembly. Single-tree scenes route through
+    # one shared op (ops/efc_stage.py): a whole-stage Pallas kernel on
+    # TPU (top-K selection, candidate gathers, frame/Jacobian/aref all
+    # VMEM-resident in one launch), with _contact_rows_ref below as the
+    # XLA reference/fallback — bit-comparable math either way.
+    from flybody_tpu.ops import arrow as _arrow
+    from flybody_tpu.ops import efc_stage as _efc
+    root = np.array(meta.body_rootid)
+    dof_body = np.array(meta.dof_bodyid)
+    roots = np.unique(root[dof_body])
+    part = _arrow.build_partition(meta) if _arrow.enabled() else None
+    if len(roots) == 1:
+        maskt = jnp.asarray(
+            np.asarray(model.body_dof_mask, np.float64).T).astype(dtype)
+        if part is not None:
+            limb_np = np.asarray(part.limb_of_body, np.float64)
+        else:
+            limb_np = -np.ones((meta.nbody,), np.float64)
+        limb = jnp.asarray(limb_np[None]).astype(dtype)  # (1, nbody)
+        com_root = data.subtree_com[int(roots[0])]
+        fop = _efc.make_efc_contacts_pe(k, meta.nv, meta.nbody)
+        con_J, scal = fop(cand_b, cand_u, cand_g, data.qvel, data.cdof,
+                          com_root, maskt, limb)
+        return EfcRows(
+            lim_dof=lim_dof, lim_sign=lim_sign,
+            lim_active=lim_active.astype(dtype),
+            lim_aref=aref, lim_D=lim_D, lim_pos=dist,
+            con_J=con_J, con_active=scal[1],
+            con_frictional=scal[2], con_mu=scal[3],
+            con_aref=jnp.swapaxes(scal[5:8], 0, 1), con_D=scal[4],
+            con_pos=scal[0],
+            con_sel=jnp.round(scal[18]).astype(jnp.int32),
+            con_xpos=jnp.swapaxes(scal[8:11], 0, 1),
+            con_normal=jnp.swapaxes(scal[11:14], 0, 1),
+            con_body1=jnp.round(scal[14]).astype(jnp.int32),
+            con_body2=jnp.round(scal[15]).astype(jnp.int32),
+            con_self=scal[16], con_break=scal[17],
+        )
 
     _, lsel = jax.lax.top_k(-cand_s, k)
     oh = jax.nn.one_hot(lsel, cand_s.shape[0], dtype=dtype)

@@ -54,9 +54,11 @@ def main(argv=None):
     rows = {}
 
     def run(tag, params):
-        stats = jax.jit(lambda r: eval_lib.evaluate(
-            env, policy.apply, params, r,
-            num_envs=args.num_envs))(jax.random.PRNGKey(args.seed + 1))
+        # Host-chunked: vision episodes are 2000 control steps and a
+        # single 2000-step scanned program faults the axon TPU worker.
+        stats = eval_lib.evaluate(
+            env, policy.apply, params, jax.random.PRNGKey(args.seed + 1),
+            num_envs=args.num_envs, chunk=eval_lib.DEFAULT_CHUNK)
         rows[tag] = {k: float(v) for k, v in stats.items()}
         print(tag, json.dumps(rows[tag]), flush=True)
 

@@ -539,6 +539,61 @@ def test_sens_stage_kernel_matches_reference():
     assert float((np.abs(o - r) / scale).max()) < 3e-6
 
 
+def test_efc_stage_kernel_matches_reference(monkeypatch):
+    """Fused contact-row kernel (ops/efc_stage.py, interpret) ==
+    solver._contact_rows_ref through make_efc on contact-rich walking
+    states, both dense and compact collide paths."""
+    import jax.numpy as jnp
+    from flybody_tpu.envs import fly_envs
+    from flybody_tpu.ops import efc_stage
+    from flybody_tpu.physics import collision, smooth, solver
+    from flybody_tpu.physics.state import make_data
+
+    model = fly_envs._walking_model(False, True, 0.01)
+    model = jax.tree.map(
+        lambda x: (jnp.asarray(x, jnp.float32)
+                   if hasattr(x, 'dtype') and
+                   jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                   else x), model)
+    B = 8
+    rng = np.random.RandomState(0)
+    meta = model.meta
+    qpos = np.tile(np.asarray(model.qpos0, np.float32)[None], (B, 1))
+    qpos[:, 2] = 0.1
+    qpos[:, 7:] += 0.1 * rng.randn(B, meta.nq - 7).astype(np.float32)
+    qvel = 0.3 * rng.randn(B, meta.nv).astype(np.float32)
+
+    def rows(qp, qv, compact):
+        d = make_data(model).replace(qpos=qp, qvel=qv)
+        d = smooth.fwd_smooth(model, d)
+        con = collision.collide(model, d, compact=compact)
+        return solver.make_efc(model, d, con, ncon_max=24)
+
+    fields = ['con_J', 'con_active', 'con_frictional', 'con_mu',
+              'con_aref', 'con_D', 'con_pos', 'con_sel', 'con_xpos',
+              'con_normal', 'con_body1', 'con_body2', 'con_self',
+              'con_break']
+    orig = efc_stage.make_efc_contacts_pe
+    for compact in [True, False]:
+        ref = jax.vmap(lambda qp, qv: rows(qp, qv, compact))(
+            jnp.asarray(qpos), jnp.asarray(qvel))
+        monkeypatch.setattr(
+            efc_stage, 'make_efc_contacts_pe',
+            lambda K, nv, nbody: orig(K, nv, nbody, interpret=True))
+        out = jax.vmap(lambda qp, qv: rows(qp, qv, compact))(
+            jnp.asarray(qpos), jnp.asarray(qvel))
+        monkeypatch.setattr(efc_stage, 'make_efc_contacts_pe', orig)
+        assert int(np.asarray(ref.con_active).sum()) > 8  # contact-rich
+        for nm in fields:
+            o = np.asarray(getattr(out, nm))
+            r = np.asarray(getattr(ref, nm))
+            if nm in ('con_sel', 'con_body1', 'con_body2'):
+                assert (o == r).all(), nm
+                continue
+            scale = max(1e-6, float(np.abs(r).max()))
+            assert float(np.abs(o - r).max()) / scale < 3e-6, nm
+
+
 def test_fused_noslip_matches_reference():
     """Fused noslip (packed-factor solve + Ainv + GS in one launch,
     interpret) == the chained reference path."""

@@ -314,3 +314,55 @@ def test_compiled_sens_stage_kernel():
     o, r = np.asarray(out), np.asarray(ref)
     scale = np.maximum(1e-6, np.abs(r).max(0))
     assert float((np.abs(o - r) / scale).max()) < 1e-4
+
+
+def test_compiled_efc_stage_kernel(monkeypatch):
+    """Fused contact-row kernel (ops/efc_stage.py) compiled on the real
+    accelerator matches the XLA reference path through make_efc."""
+    from flybody_tpu.envs import fly_envs
+    from flybody_tpu.physics import collision, smooth, solver
+    from flybody_tpu.physics.state import make_data
+    model = fly_envs._walking_model(False, True, 0.01)
+    model = jax.tree.map(
+        lambda x: (jnp.asarray(x, jnp.float32)
+                   if hasattr(x, 'dtype') and
+                   jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                   else jnp.asarray(x)), model)
+    B = 256
+    rng = np.random.RandomState(0)
+    meta = model.meta
+    qpos = np.tile(np.asarray(model.qpos0, np.float32)[None], (B, 1))
+    qpos[:, 2] = 0.1
+    qpos[:, 7:] += 0.1 * rng.randn(B, meta.nq - 7).astype(np.float32)
+    qvel = 0.3 * rng.randn(B, meta.nv).astype(np.float32)
+
+    def rows(qp, qv):
+        d = make_data(model).replace(qpos=qp, qvel=qv)
+        d = smooth.fwd_smooth(model, d)
+        con = collision.collide(model, d, compact=True)
+        return solver.make_efc(model, d, con, ncon_max=24)
+
+    # Both traces run the XLA glue (tile prestage, broadphase gathers)
+    # at HIGHEST so the candidate values feeding the op are identical;
+    # only the contact-row op itself differs between the two runs. (The
+    # kernel's own gathers are exact masked reductions; the reference's
+    # one-hot GEMMs are exact only at f32 precision.)
+    with jax.default_matmul_precision('highest'):
+        out = jax.jit(jax.vmap(rows))(jnp.asarray(qpos),
+                                      jnp.asarray(qvel))
+        monkeypatch.setenv('FLYBODY_NO_PALLAS', 'efcstage')
+        ref = jax.jit(jax.vmap(rows))(jnp.asarray(qpos),
+                                      jnp.asarray(qvel))
+        monkeypatch.delenv('FLYBODY_NO_PALLAS')
+    assert int(np.asarray(ref.con_active).sum()) > B  # contact-rich
+    for nm in ['con_J', 'con_active', 'con_frictional', 'con_mu',
+               'con_aref', 'con_D', 'con_pos', 'con_sel', 'con_xpos',
+               'con_normal', 'con_body1', 'con_body2', 'con_self',
+               'con_break']:
+        o = np.asarray(getattr(out, nm))
+        r = np.asarray(getattr(ref, nm))
+        if nm in ('con_sel', 'con_body1', 'con_body2'):
+            assert (o == r).all(), nm
+            continue
+        scale = max(1e-6, float(np.abs(r).max()))
+        assert float(np.abs(o - r).max()) / scale < 1e-4, nm
