@@ -30,6 +30,15 @@ def main():
     steps = int(os.environ.get('BENCH_STEPS', 5))
     task = os.environ.get('BENCH_TASK', 'walk_imitation')
 
+    # Broadphase compaction widths (round-4): the one-hot gather GEMMs
+    # and the MPR kernel scale with P; active contacts peak ~15, and
+    # tests/test_solver_knobs.py::test_topp_32_16_solver_accuracy
+    # asserts the ACTIVE contact set at 32/16 is identical to the wide
+    # default with qacc tracking the converged solve. +25% bench
+    # measured (13,217 -> 16,563 at batch 8192). Overridable for A/B.
+    os.environ.setdefault('FLYBODY_MPR_TOP_P', '32')
+    os.environ.setdefault('FLYBODY_CC_TOP_P', '16')
+
     from flybody_tpu.envs import fly_envs
 
     # Perf configuration (overridable for A/B runs): 24 contact slots

@@ -11,6 +11,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import jax
@@ -163,8 +164,17 @@ def main(argv=None):
         env_kwargs['ref_path'] = args.ref_path
     if args.bench_solver:
         env_kwargs.update(solver_iterations=8, ls_iterations=6,
-                          ncon_max=32, refactor_period=8,
+                          ncon_max=24, refactor_period=8,
                           noslip_contacts=16)
+        # Broadphase compaction widths must be set before the collision
+        # module is first traced (read as module-level env knobs);
+        # accuracy gated by test_topp_32_16_solver_accuracy +
+        # test_ncon24_solver_accuracy.
+        from flybody_tpu.physics import collision as _col
+        if 'FLYBODY_MPR_TOP_P' not in os.environ:
+            _col.MPR_MERGED_TOP_P = 32
+        if 'FLYBODY_CC_TOP_P' not in os.environ:
+            _col.CC_TOP_P = 16
     env = cast_env_f32(make_env(args.task, **env_kwargs))
 
     two_level = args.ll_snapshot and args.task.startswith('vision')

@@ -107,3 +107,54 @@ def test_ncon24_solver_accuracy(model):
     scale = np.abs(np.asarray(ref.qacc)).max()
     err = np.abs(np.asarray(fast.qacc) - np.asarray(ref.qacc)).max()
     assert err / scale < 2e-2, (err, scale)
+
+
+def test_topp_32_16_solver_accuracy(model, monkeypatch):
+    """Broadphase compaction at MPR_TOP_P=32 / CC_TOP_P=16 (the bench
+    candidates — the one-hot gather GEMMs and the MPR kernel scale with
+    P) must keep every force-bearing contact: qacc from a contact-rich
+    randomly actuated pose tracks the converged wide-P solve, and the
+    ACTIVE contact set is identical."""
+    d0 = _settle(model)
+    rng = np.random.RandomState(3)
+    lo = np.asarray(model.actuator_ctrlrange)[:, 0]
+    hi = np.asarray(model.actuator_ctrlrange)[:, 1]
+    d = d0
+    for k in range(6):
+        ctrl = lo + (hi - lo) * rng.rand(len(lo))
+        d = d.replace(ctrl=jnp.asarray(ctrl, d.qpos.dtype))
+        d = _rollout(model, d, 5, solver_iterations=8, ls_iterations=6)
+    ref = engine.fwd(model, d, solver_iterations=25, ls_iterations=12,
+                     ncon_max=64)
+    monkeypatch.setattr(col, 'MPR_MERGED_TOP_P', 32)
+    monkeypatch.setattr(col, 'CC_TOP_P', 16)
+    fast = engine.fwd(model, d, solver_iterations=8, ls_iterations=6,
+                      ncon_max=24, refactor_period=8, noslip_contacts=16)
+    scale = np.abs(np.asarray(ref.qacc)).max()
+    err = np.abs(np.asarray(fast.qacc) - np.asarray(ref.qacc)).max()
+    assert err / scale < 2e-2, (err, scale)
+
+    # Active contact sets: narrow-P compact collide == wide-P, slot ids
+    # and distances both (the selection may only drop provably
+    # separated candidates at these P values).
+    from flybody_tpu.physics import smooth
+    dk = smooth.fwd_smooth(model, d)
+    con_narrow = col.collide(model, dk, compact=True)  # P = 32/16
+    monkeypatch.setattr(col, 'MPR_MERGED_TOP_P', 128)
+    monkeypatch.setattr(col, 'CC_TOP_P', 128)
+    con_wide = col.collide(model, dk, compact=True)
+
+    def active_rows(con):
+        rows = {}
+        for b in con.blocks:
+            act = (np.asarray(b.dist)
+                   < np.asarray(b.params)[:, 0])
+            for i in np.where(act)[0]:
+                rows[int(np.asarray(b.idx)[i])] = float(
+                    np.asarray(b.dist)[i])
+        return rows
+
+    rw, rn = active_rows(con_wide), active_rows(con_narrow)
+    assert set(rw) == set(rn), (sorted(rw), sorted(rn))
+    for k_ in rw:
+        assert abs(rw[k_] - rn[k_]) < 1e-6
