@@ -22,6 +22,7 @@ silhouette detail.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -167,26 +168,57 @@ def _ray_ellipsoids(origin, dirs, centers, mats, sizes):
     return tmin, n
 
 
+# Eye terrain sampling (default: hat-weight matmuls on a strided render
+# lattice — see hfield.height_at_matmul). FLYBODY_EYE_DENSE=0 restores
+# the per-point gather path (exact full-res bilinear, ~60x slower on
+# TPU); FLYBODY_EYE_STRIDE sets the render sublattice stride (2 ->
+# 0.2 cm lattice on the 400-node arena; depth parity suite gates it).
+_EYE_DENSE = os.environ.get('FLYBODY_EYE_DENSE', '1') != '0'
+_EYE_STRIDE = int(os.environ.get('FLYBODY_EYE_STRIDE', 2))
+
+
 def _ray_terrain(origin, dirs, terrain, n_steps: int = 48,
                  max_dist: float = 40.0, n_refine: int = 6):
     """Terrain intersection by fixed-step marching + bisection."""
     dtype = origin.dtype
-    # March points: denser near the camera.
+    if _EYE_DENSE and terrain.shape[-1] % _EYE_STRIDE == 0:
+        gs = terrain[::_EYE_STRIDE, ::_EYE_STRIDE]
+        full_res = terrain.shape[-1]
+
+        def sample(px, py):
+            return hf.height_at_matmul(gs, px, py, stride=_EYE_STRIDE,
+                                       full_res=full_res)
+    else:
+        def sample(px, py):
+            return hf.height_at(terrain, px, py)
+
+    # March points: denser near the camera. Scanned one step at a time
+    # so the (P, R) hat-weight matrices never materialize for all steps
+    # at once (48 x P x R x B would be tens of GB at batch).
     s = jnp.linspace(0.0, 1.0, n_steps, dtype=dtype) ** 1.5 * max_dist
-    pts = origin[None, None, :] + s[:, None, None] * dirs[None, :, :]
-    h = hf.height_at(terrain, pts[..., 0], pts[..., 1])
-    below = pts[..., 2] < h  # (S, P)
-    # First index below ground.
-    idx = jnp.argmax(below, axis=0)
-    anyhit = jnp.any(below, axis=0)
-    t_hi = s[idx]
-    t_lo = s[jnp.maximum(idx - 1, 0)]
+
+    def march(carry, si_pair):
+        found, t_lo, t_hi = carry
+        s_prev, si = si_pair
+        p = origin[None, :] + si * dirs
+        below = p[:, 2] < sample(p[:, 0], p[:, 1])
+        new = below & ~found
+        t_hi = jnp.where(new, si, t_hi)
+        t_lo = jnp.where(new, s_prev, t_lo)
+        return (found | below, t_lo, t_hi), None
+
+    P = dirs.shape[0]
+    init = (jnp.zeros((P,), bool), jnp.zeros((P,), dtype),
+            jnp.zeros((P,), dtype))
+    s_prevs = jnp.concatenate([s[:1], s[:-1]])
+    (anyhit, t_lo, t_hi), _ = jax.lax.scan(march, init,
+                                           (s_prevs, s))
 
     def refine(_, carry):
         t_lo, t_hi = carry
         tm = 0.5 * (t_lo + t_hi)
         p = origin[None, :] + tm[:, None] * dirs
-        under = p[:, 2] < hf.height_at(terrain, p[:, 0], p[:, 1])
+        under = p[:, 2] < sample(p[:, 0], p[:, 1])
         t_hi = jnp.where(under, tm, t_hi)
         t_lo = jnp.where(under, t_lo, tm)
         return t_lo, t_hi
@@ -196,10 +228,10 @@ def _ray_terrain(origin, dirs, terrain, n_steps: int = 48,
     # Normal from terrain gradient (central differences in world units).
     p = origin[None, :] + t[:, None] * dirs
     eps = 0.1
-    hx1 = hf.height_at(terrain, p[:, 0] + eps, p[:, 1])
-    hx0 = hf.height_at(terrain, p[:, 0] - eps, p[:, 1])
-    hy1 = hf.height_at(terrain, p[:, 0], p[:, 1] + eps)
-    hy0 = hf.height_at(terrain, p[:, 0], p[:, 1] - eps)
+    hx1 = sample(p[:, 0] + eps, p[:, 1])
+    hx0 = sample(p[:, 0] - eps, p[:, 1])
+    hy1 = sample(p[:, 0], p[:, 1] + eps)
+    hy0 = sample(p[:, 0], p[:, 1] - eps)
     n = jnp.stack([-(hx1 - hx0) / (2 * eps), -(hy1 - hy0) / (2 * eps),
                    jnp.ones_like(t)], axis=-1)
     n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
