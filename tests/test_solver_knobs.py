@@ -158,3 +158,40 @@ def test_topp_32_16_solver_accuracy(model, monkeypatch):
     assert set(rw) == set(rn), (sorted(rw), sorted(rn))
     for k_ in rw:
         assert abs(rw[k_] - rn[k_]) < 1e-6
+
+
+def test_iters6_rf8_solver_accuracy(model):
+    """Candidate bench config (6 Newton iterations, refactor 8 -> one
+    fresh factor + 5 fused reuse steps): qacc from the contact-rich
+    random-ctrl pose must track the converged solve. (The round-3
+    /tmp/solver_acc.py sweep measured iters=6 MORE accurate than 8 at
+    stale factors; this pins that in CI for the shipped shape.)"""
+    d0 = _settle(model)
+    rng = np.random.RandomState(3)
+    lo = np.asarray(model.actuator_ctrlrange)[:, 0]
+    hi = np.asarray(model.actuator_ctrlrange)[:, 1]
+    d = d0
+    for k in range(6):
+        ctrl = lo + (hi - lo) * rng.rand(len(lo))
+        d = d.replace(ctrl=jnp.asarray(ctrl, d.qpos.dtype))
+        d = _rollout(model, d, 5, solver_iterations=8, ls_iterations=6)
+    ref = engine.fwd(model, d, solver_iterations=25, ls_iterations=12,
+                     ncon_max=64)
+    fast = engine.fwd(model, d, solver_iterations=6, ls_iterations=6,
+                      ncon_max=24, refactor_period=8, noslip_contacts=16)
+    scale = np.abs(np.asarray(ref.qacc)).max()
+    err = np.abs(np.asarray(fast.qacc) - np.asarray(ref.qacc)).max()
+    assert err / scale < 2e-2, (err, scale)
+
+
+def test_noslip8_solver_accuracy(model):
+    """Candidate noslip prefix of 8 (vs shipped 16): the standing
+    scene's force-bearing slip suppression must not regress qacc."""
+    d0 = _settle(model)
+    d = _rollout(model, d0, 30, solver_iterations=8, ls_iterations=6)
+    ref = engine.fwd(model, d, solver_iterations=25, ls_iterations=12)
+    fast = engine.fwd(model, d, solver_iterations=8, ls_iterations=6,
+                      ncon_max=24, refactor_period=8, noslip_contacts=8)
+    scale = np.abs(np.asarray(ref.qacc)).max()
+    err = np.abs(np.asarray(fast.qacc) - np.asarray(ref.qacc)).max()
+    assert err / scale < 2e-2, (err, scale)
