@@ -68,6 +68,22 @@ def _cone_residual_planes(N, y1, y2, mu, fric):
     return r0, r1, r2
 
 
+def _tri_inv_lower(lc, SB3, dtype):
+    """Dense inverse of a per-lane lower-triangular (SB3, SB3, L) factor
+    by forward substitution with the identity RHS — SB3 sequential steps
+    ONCE, so each Newton iteration's two triangular solves collapse to
+    two mul+reduce contractions against the inverse."""
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (SB3, 1, 1), 0)
+    ek_rows = jax.lax.broadcasted_iota(jnp.int32, (SB3, 1), 0)
+    linv = jnp.zeros_like(lc)
+    for k in range(SB3):
+        term = jnp.sum(lc[k, :, :][:, None, :] * linv, axis=0)  # (SB3, L)
+        ek = (ek_rows == k).astype(dtype)
+        val = (ek - term) / lc[k, k, :][None]
+        linv = jnp.where(rows_c == k, val[None, :, :], linv)
+    return linv
+
+
 def _make_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
                  lim_dof: tuple, lim_sign: tuple, ls_iters: int,
                  n_iters: int = 1, packed_m: bool = False):
@@ -77,11 +93,16 @@ def _make_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
     solve_body = _arrow._make_solve_body(part, 1)
 
     def body(f_ref, m_ref, j_ref, z_ref, u_ref, lc_ref, xm_ref, jl_ref,
-             jc_ref, lp_ref, cp_ref, xm_o, jl_o, jc_o,
+             jc_ref, lp_ref, cp_ref, s_ref, st_ref, xm_o, jl_o, jc_o,
              g_scr, t_scr, yl, cl, m_scr):
         dtype = m_ref.dtype
         actl, Dl = lp_ref[0], lp_ref[1]
         mu, fric, actc, Dc = cp_ref[0], cp_ref[1], cp_ref[2], cp_ref[3]
+        # Capacitance-factor inverse, once per launch (see prologue note
+        # in _make_block_kernel).
+        linv = _tri_inv_lower(lc_ref[...], SB3, dtype)
+        smat = s_ref[...]    # (nv, nlim) static limit scatter (signed)
+        stmat = st_ref[...]  # (nlim, nv) its transpose
 
         def mdx_packed(dx):
             """M dx with m_ref in the packed arrow layout
@@ -113,14 +134,12 @@ def _make_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
             Dact = Dc * actc
             f0, f1, f2 = -Dact * r0, -Dact * r1, -Dact * r2
 
-            # Gradient g = msm - scatter(lim forces) - J^T f. Limit rows
-            # each touch ONE dof (static index): iota-masked row adds
-            # (Mosaic lowers neither scatter-add nor captured constant
-            # matrices; a where per row is cheap at nlim ~ 44).
-            rows_nv = jax.lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
-            g = msm
-            for li, (d, sg) in enumerate(zip(lim_dof, lim_sign)):
-                g = jnp.where(rows_nv == d, g - sg * f_l[li:li + 1, :], g)
+            # Gradient g = msm - S f_lim - J^T f. The static limit
+            # scatter rides the MXU as one small matmul (S is 0/+-1, so
+            # HIGHEST keeps it bit-faithful) instead of nlim sequential
+            # masked row adds.
+            g = msm - jax.lax.dot(smat, f_l,
+                                  precision=jax.lax.Precision.HIGHEST)
             frows = jnp.stack([f0, f1, f2], axis=1).reshape(3 * K, -1)
             g = g - jnp.sum(j_ref[...] * frows[:, None, :], axis=0)
 
@@ -129,23 +148,10 @@ def _make_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
             solve_body(f_ref, g_scr, t_scr, yl, cl)
             t = t_scr[0]  # (nv, L)
 
-            # Woodbury: dx = -(t - Z (LC LC^T)^-1 U^T t).
+            # Woodbury via the precomputed inverse: two contractions.
             Ut = jnp.sum(u_ref[...] * t[:, None, :], axis=0)  # (SB3, L)
-            rsel = jax.lax.broadcasted_iota(jnp.int32, (SB3, 1), 0)
-            wv = jnp.zeros_like(Ut)
-            for kk in range(SB3):  # forward LC w = Ut (static unroll)
-                row = lc_ref[kk, :, :]  # (SB3, L)
-                acc = jnp.sum(row * wv, axis=0, keepdims=True)
-                val = (Ut[kk:kk + 1, :] - acc) / lc_ref[kk, kk, :][None]
-                wv = jnp.where(rsel == kk, val, wv)
-            wb = jnp.zeros_like(wv)
-            cr = jnp.zeros_like(wv)
-            for i2 in range(SB3):  # backward LC^T w = wv
-                kk = SB3 - 1 - i2
-                val = (wv[kk:kk + 1, :] - cr[kk:kk + 1, :]) / (
-                    lc_ref[kk, kk, :][None])
-                wb = jnp.where(rsel == kk, val, wb)
-                cr = cr + lc_ref[kk, :, :] * val
+            wv = jnp.sum(linv * Ut[None, :, :], axis=1)
+            wb = jnp.sum(linv * wv[:, None, :], axis=0)
             dx = -(t - jnp.sum(z_ref[...] * wb[None, :, :], axis=1))
 
             # Line-search precomputes (M and J read once more from VMEM).
@@ -153,9 +159,8 @@ def _make_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
             jv = jnp.sum(j_ref[...] * dx[None, :, :], axis=1)   # (3K, L)
             jv3 = jv.reshape(K, 3, -1)
             jvn, jvt1, jvt2 = jv3[:, 0, :], jv3[:, 1, :], jv3[:, 2, :]
-            jv_l = jnp.concatenate(
-                [sg * dx[d:d + 1, :] for d, sg in zip(lim_dof, lim_sign)],
-                axis=0)
+            jv_l = jax.lax.dot(stmat, dx,
+                               precision=jax.lax.Precision.HIGHEST)
             sm0 = jnp.sum(msm * dx, axis=0, keepdims=True)
             smm = jnp.sum(dx * mdx, axis=0, keepdims=True)
             lim_planes = jnp.stack([jar_l, jv_l, actl, Dl])
@@ -194,13 +199,18 @@ def _fused_fn(part: _arrow.Part, K: int, SB3: int, nlim: int,
                         n_iters, packed_m)
 
     @jax.jit
-    def run(F_t, M_t, J_t, Z_t, U_t, LC_t, xm_t, jl_t, jc_t, lp_t, cp_t):
+    def run(F_t, M_t, J_t, Z_t, U_t, LC_t, xm_t, jl_t, jc_t, lp_t, cp_t,
+            S_t, ST_t):
         B = M_t.shape[-1]
         grid = (B // LANES,)
 
         def spec(*shape):
             return pl.BlockSpec(shape + (LANES,),
                                 lambda i: (0,) * len(shape) + (i,),
+                                memory_space=pltpu.VMEM)
+
+        def flat_spec(*shape):  # grid-invariant shared matrices
+            return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                 memory_space=pltpu.VMEM)
 
         m_spec = (spec(nl + 1, dm + nr, dm) if packed_m
@@ -214,7 +224,8 @@ def _fused_fn(part: _arrow.Part, K: int, SB3: int, nlim: int,
             in_specs=[spec(nl + 1, dm + nr, dm), m_spec,
                       spec(3 * K, nv), spec(nv, SB3), spec(nv, SB3),
                       spec(SB3, SB3), spec(2, nv), spec(1, nlim),
-                      spec(3, K), spec(2, nlim), spec(4, K)],
+                      spec(3, K), spec(2, nlim), spec(4, K),
+                      flat_spec(nv, nlim), flat_spec(nlim, nv)],
             out_specs=(spec(2, nv), spec(1, nlim), spec(3, K)),
             scratch_shapes=[pltpu.VMEM((1, nv, LANES), jnp.float32),
                             pltpu.VMEM((1, nv, LANES), jnp.float32),
@@ -224,9 +235,21 @@ def _fused_fn(part: _arrow.Part, K: int, SB3: int, nlim: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
-        )(F_t, M_t, J_t, Z_t, U_t, LC_t, xm_t, jl_t, jc_t, lp_t, cp_t)
+        )(F_t, M_t, J_t, Z_t, U_t, LC_t, xm_t, jl_t, jc_t, lp_t, cp_t,
+          S_t, ST_t)
 
     return run
+
+
+def _scatter_mats(nv: int, lim_dof: tuple, lim_sign: tuple, dtype):
+    """Static signed limit scatter matrix S (nv, nlim) with
+    S[dof_i, i] = sign_i, and its transpose."""
+    nlim = len(lim_dof)
+    S = np.zeros((nv, nlim), np.float32)
+    if nlim:
+        S[np.array(lim_dof, np.int64), np.arange(nlim)] = np.array(
+            lim_sign, np.float32)
+    return jnp.asarray(S, dtype), jnp.asarray(S.T, dtype)
 
 
 def _ref_step_n(part, lim_dof, lim_sign, ls_iters, n_iters, F, M, conJ,
@@ -297,12 +320,14 @@ def _make_block_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
     solve1 = _arrow._make_solve_body(part, 1)
 
     def body(hp_ref, m_ref, j_ref, u2_ref, xm_ref, jl_ref, jc_ref,
-             lp_ref, cp_ref, xm_o, jl_o, jc_o,
+             lp_ref, cp_ref, s_ref, st_ref, xm_o, jl_o, jc_o,
              dw, bw, f_scr, z_scr, ylz, clz, g_scr, t_scr, yl1, cl1,
              lc_scr, m_scr):
         dtype = m_ref.dtype
         actl, Dl = lp_ref[0], lp_ref[1]
         mu, fric, actc, Dc = cp_ref[0], cp_ref[1], cp_ref[2], cp_ref[3]
+        smat = s_ref[...]    # (nv, nlim) static limit scatter (signed)
+        stmat = st_ref[...]  # (nlim, nv)
 
         # --- Prologue: factor H, solve Z, capacitance Cholesky.
         fbody(hp_ref, f_scr, dw, bw)
@@ -323,7 +348,9 @@ def _make_block_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
             r = jnp.where(cols_c >= k, cw[k:k + 1, :, :] * inv, 0.0)
             lc = lc + c * (cols_c == k).astype(dtype)
             cw = cw - c * r
-        lc_scr[...] = lc
+        # Invert LC once (SB3 steps); every iteration's pair of
+        # triangular solves then collapses to two contractions.
+        lc_scr[...] = _tri_inv_lower(lc, SB3, dtype)
 
         def mdx_packed(dx):
             xr = dx[0:nr, :]
@@ -345,10 +372,8 @@ def _make_block_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
             r0, r1, r2 = _cone_residual_planes(N, y1, y2, mu, fric)
             Dact = Dc * actc
             f0, f1, f2 = -Dact * r0, -Dact * r1, -Dact * r2
-            rows_nv = jax.lax.broadcasted_iota(jnp.int32, (nv, 1), 0)
-            g = msm
-            for li, (d, sg) in enumerate(zip(lim_dof, lim_sign)):
-                g = jnp.where(rows_nv == d, g - sg * f_l[li:li + 1, :], g)
+            g = msm - jax.lax.dot(smat, f_l,
+                                  precision=jax.lax.Precision.HIGHEST)
             frows = jnp.stack([f0, f1, f2], axis=1).reshape(3 * K, -1)
             g = g - jnp.sum(j_ref[...] * frows[:, None, :], axis=0)
 
@@ -356,32 +381,19 @@ def _make_block_kernel(part: _arrow.Part, K: int, SB3: int, nlim: int,
             solve1(f_scr, g_scr, t_scr, yl1, cl1)
             t = t_scr[0]  # (nv, L)
 
-            # Woodbury with the transposed layouts: Ut[a] = U2[a,:].t.
+            # Woodbury with the transposed layouts: Ut[a] = U2[a,:].t;
+            # lc_scr holds LC^-1 from the prologue.
             Ut = jnp.sum(u2_ref[...] * t[None, :, :], axis=1)  # (SB3, L)
-            rsel = jax.lax.broadcasted_iota(jnp.int32, (SB3, 1), 0)
-            wv = jnp.zeros_like(Ut)
-            for kk in range(SB3):
-                row = lc_scr[kk, :, :]
-                acc = jnp.sum(row * wv, axis=0, keepdims=True)
-                val = (Ut[kk:kk + 1, :] - acc) / lc_scr[kk, kk, :][None]
-                wv = jnp.where(rsel == kk, val, wv)
-            wb = jnp.zeros_like(wv)
-            cr = jnp.zeros_like(wv)
-            for i2 in range(SB3):
-                kk = SB3 - 1 - i2
-                val = (wv[kk:kk + 1, :] - cr[kk:kk + 1, :]) / (
-                    lc_scr[kk, kk, :][None])
-                wb = jnp.where(rsel == kk, val, wb)
-                cr = cr + lc_scr[kk, :, :] * val
+            wv = jnp.sum(lc_scr[...] * Ut[None, :, :], axis=1)
+            wb = jnp.sum(lc_scr[...] * wv[:, None, :], axis=0)
             dx = -(t - jnp.sum(z_scr[...] * wb[:, None, :], axis=0))
 
             mdx = mdx_packed(dx)
             jv = jnp.sum(j_ref[...] * dx[None, :, :], axis=1)
             jv3 = jv.reshape(K, 3, -1)
             jvn, jvt1, jvt2 = jv3[:, 0, :], jv3[:, 1, :], jv3[:, 2, :]
-            jv_l = jnp.concatenate(
-                [sg * dx[d:d + 1, :] for d, sg in zip(lim_dof, lim_sign)],
-                axis=0)
+            jv_l = jax.lax.dot(stmat, dx,
+                               precision=jax.lax.Precision.HIGHEST)
             sm0 = jnp.sum(msm * dx, axis=0, keepdims=True)
             smm = jnp.sum(dx * mdx, axis=0, keepdims=True)
             lim_planes = jnp.stack([jar_l, jv_l, actl, Dl])
@@ -415,13 +427,18 @@ def _block_fn(part: _arrow.Part, K: int, SB3: int, nlim: int,
                               ls_iters, n_iters)
 
     @jax.jit
-    def run(Hp_t, M_t, J_t, U2_t, xm_t, jl_t, jc_t, lp_t, cp_t):
+    def run(Hp_t, M_t, J_t, U2_t, xm_t, jl_t, jc_t, lp_t, cp_t, S_t,
+            ST_t):
         B = M_t.shape[-1]
         grid = (B // LANES,)
 
         def spec(*shape):
             return pl.BlockSpec(shape + (LANES,),
                                 lambda i: (0,) * len(shape) + (i,),
+                                memory_space=pltpu.VMEM)
+
+        def flat_spec(*shape):
+            return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                 memory_space=pltpu.VMEM)
 
         pk = spec(nl + 1, dm + nr, dm)
@@ -433,7 +450,8 @@ def _block_fn(part: _arrow.Part, K: int, SB3: int, nlim: int,
             grid=grid,
             in_specs=[pk, pk, spec(3 * K, nv), spec(SB3, nv),
                       spec(2, nv), spec(1, nlim), spec(3, K),
-                      spec(2, nlim), spec(4, K)],
+                      spec(2, nlim), spec(4, K),
+                      flat_spec(nv, nlim), flat_spec(nlim, nv)],
             out_specs=(spec(2, nv), spec(1, nlim), spec(3, K)),
             scratch_shapes=[
                 pltpu.VMEM((nl, dm, dm, LANES), jnp.float32),
@@ -452,7 +470,7 @@ def _block_fn(part: _arrow.Part, K: int, SB3: int, nlim: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
-        )(Hp_t, M_t, J_t, U2_t, xm_t, jl_t, jc_t, lp_t, cp_t)
+        )(Hp_t, M_t, J_t, U2_t, xm_t, jl_t, jc_t, lp_t, cp_t, S_t, ST_t)
 
     return run
 
@@ -529,8 +547,9 @@ def make_newton_block_pe(part: _arrow.Part, lim_dof: tuple,
         cp_t = tol(con_params)
         run = _block_fn(part, K, SB3, nlim, lim_dof, lim_sign, ls_iters,
                         n_iters, interpret)
+        S_t, ST_t = _scatter_mats(part.nv, lim_dof, lim_sign, M.dtype)
         xm_o, jl_o, jc_o = run(Hp_t, M_t, J_t, U2_t, xm_t, jl_t, jc_t,
-                               lp_t, cp_t)
+                               lp_t, cp_t, S_t, ST_t)
 
         def fro(v):
             return jnp.moveaxis(v[..., :B], -1, 0)
@@ -606,8 +625,9 @@ def make_reuse_pe(part: _arrow.Part, lim_dof: tuple, lim_sign: tuple,
         cp_t = tol(con_params)
         run = _fused_fn(part, K, SB3, nlim, lim_dof, lim_sign, ls_iters,
                         n_iters, M.ndim == 4, interpret)
+        S_t, ST_t = _scatter_mats(part.nv, lim_dof, lim_sign, M.dtype)
         xm_o, jl_o, jc_o = run(F_t, M_t, J_t, Z_t, U_t, LC_t, xm_t,
-                               jl_t, jc_t, lp_t, cp_t)
+                               jl_t, jc_t, lp_t, cp_t, S_t, ST_t)
 
         def fro(v):
             return jnp.moveaxis(v[..., :B], -1, 0)
