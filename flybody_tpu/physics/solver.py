@@ -773,7 +773,11 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         # Static budget of cross-limb rows carried exactly by Woodbury;
         # overflow rows stay in the gradient/cost (same fixed point) but
         # drop out of the Hessian — the exact line search keeps descent.
-        SB = min(8, K)
+        # FLYBODY_SB_BREAK narrows the budget (the Z-solve RHS width and
+        # capacitance work scale with 3*SB); accuracy gated by
+        # tests/test_solver_knobs.py::test_sb_break_solver_accuracy.
+        import os as _os
+        SB = min(int(_os.environ.get('FLYBODY_SB_BREAK', 8)), K)
         brk = efc.con_break * efc.con_active
         score_b = jnp.where(brk > 0, efc.con_pos,
                             jnp.full_like(efc.con_pos, 1e10))

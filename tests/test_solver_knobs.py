@@ -195,3 +195,29 @@ def test_noslip8_solver_accuracy(model):
     scale = np.abs(np.asarray(ref.qacc)).max()
     err = np.abs(np.asarray(fast.qacc) - np.asarray(ref.qacc)).max()
     assert err / scale < 2e-2, (err, scale)
+
+
+def test_sb_break_solver_accuracy(model, monkeypatch):
+    """Candidate Woodbury cross-limb budget FLYBODY_SB_BREAK=4 (vs
+    default 8): the Z-solve RHS width and capacitance work scale with
+    3*SB, and active cross-limb (leg-leg) rows are rare. qacc from the
+    contact-rich random-ctrl pose must track the converged wide-budget
+    solve — dropped break rows would show up here as normal-force
+    error."""
+    d0 = _settle(model)
+    rng = np.random.RandomState(3)
+    lo = np.asarray(model.actuator_ctrlrange)[:, 0]
+    hi = np.asarray(model.actuator_ctrlrange)[:, 1]
+    d = d0
+    for k in range(6):
+        ctrl = lo + (hi - lo) * rng.rand(len(lo))
+        d = d.replace(ctrl=jnp.asarray(ctrl, d.qpos.dtype))
+        d = _rollout(model, d, 5, solver_iterations=8, ls_iterations=6)
+    ref = engine.fwd(model, d, solver_iterations=25, ls_iterations=12,
+                     ncon_max=64)
+    monkeypatch.setenv('FLYBODY_SB_BREAK', '4')
+    fast = engine.fwd(model, d, solver_iterations=8, ls_iterations=6,
+                      ncon_max=24, refactor_period=8, noslip_contacts=16)
+    scale = np.abs(np.asarray(ref.qacc)).max()
+    err = np.abs(np.asarray(fast.qacc) - np.asarray(ref.qacc)).max()
+    assert err / scale < 2e-2, (err, scale)
