@@ -46,6 +46,21 @@ TERMINAL_ANGVEL = 200.0
 TERMINAL_HEIGHT = 0.2
 
 
+def exceeds(x, thresh):
+    """NaN-safe divergence test: True when x > thresh OR x is non-finite.
+
+    A plain `x > thresh` lets a NaN state keep running (NaN compares
+    False both ways), so an exploding episode would never hit the
+    reference's qacc/velocity termination guards (tasks/constants.py:21,
+    walk_imitation.py:179-192) once it passes through NaN."""
+    return ~(x <= thresh)
+
+
+def below(x, thresh):
+    """NaN-safe `x < thresh` that also fires on non-finite x."""
+    return ~(x >= thresh)
+
+
 @struct.dataclass
 class TimeStep:
     step_type: jax.Array
@@ -127,7 +142,8 @@ class FruitFlyEnv:
     def _check_termination(self, state: EnvState, fkd: Data, obs):
         """Returns (should_terminate, reached_good_end)."""
         dtype = fkd.qpos.dtype
-        qacc_huge = jnp.linalg.norm(state.data.qacc) > TERMINAL_QACC
+        qacc_huge = exceeds(jnp.linalg.norm(state.data.qacc),
+                            TERMINAL_QACC)
         return qacc_huge, jnp.zeros((), bool)
 
     def _observations(self, state: EnvState, fkd: Data, sensors_mean):

@@ -190,8 +190,9 @@ class FlightImitationEnv(envbase.FruitFlyEnv):
         height = fkd.xpos[self.tables.thorax_body, 2]
         com_dist = jnp.linalg.norm(obs['walker/ref_displacement'][0])
         reached_end = state.step_idx >= state.task.traj_timesteps
-        qacc_huge = jnp.linalg.norm(state.data.qacc) > envbase.TERMINAL_QACC
-        terminate = ((height < envbase.TERMINAL_HEIGHT)
-                     | (com_dist > self.terminal_com_dist)
+        qacc_huge = envbase.exceeds(jnp.linalg.norm(state.data.qacc),
+                                    envbase.TERMINAL_QACC)
+        terminate = (envbase.below(height, envbase.TERMINAL_HEIGHT)
+                     | envbase.exceeds(com_dist, self.terminal_com_dist)
                      | reached_end | qacc_huge)
         return terminate, reached_end

@@ -209,12 +209,13 @@ class VisionFlightEnv(envbase.FruitFlyEnv):
 
     def _check_termination(self, state, fkd, obs):
         task = state.task
-        qacc_huge = jnp.linalg.norm(state.data.qacc) > envbase.TERMINAL_QACC
+        qacc_huge = envbase.exceeds(jnp.linalg.norm(state.data.qacc),
+                                    envbase.TERMINAL_QACC)
         if not self.floor_contacts_fatal:
             return qacc_huge, jnp.zeros((), bool)
         # Terrain crash: any collision geom sphere-bound below the surface.
         gp = fkd.geom_xpos[self._coll_geoms]
         rb = self.model.geom_rbound[self._coll_geoms]
         hh = hf.height_at(task.terrain, gp[:, 0], gp[:, 1])
-        crash = jnp.any(gp[:, 2] - 0.5 * rb < hh)
+        crash = jnp.any(envbase.below(gp[:, 2] - 0.5 * rb, hh))
         return crash | qacc_huge, jnp.zeros((), bool)

@@ -196,10 +196,11 @@ class WalkImitationEnv(envbase.FruitFlyEnv):
         angvel = jnp.linalg.norm(obs['walker/gyro'])
         com_dist = jnp.linalg.norm(obs['walker/ref_displacement'][0])
         reached_end = state.step_idx >= state.task.episode_steps
-        qacc_huge = jnp.linalg.norm(state.data.qacc) > envbase.TERMINAL_QACC
-        terminate = ((linvel > envbase.TERMINAL_LINVEL)
-                     | (angvel > envbase.TERMINAL_ANGVEL)
+        qacc_huge = envbase.exceeds(jnp.linalg.norm(state.data.qacc),
+                                    envbase.TERMINAL_QACC)
+        terminate = (envbase.exceeds(linvel, envbase.TERMINAL_LINVEL)
+                     | envbase.exceeds(angvel, envbase.TERMINAL_ANGVEL)
                      | reached_end
-                     | (com_dist > self.terminal_com_dist)
+                     | envbase.exceeds(com_dist, self.terminal_com_dist)
                      | qacc_huge)
         return terminate, reached_end

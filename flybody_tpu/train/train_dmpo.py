@@ -150,6 +150,22 @@ class DMPOTrainer:
             new_obs = nets_lib.batch_concat(ts.observation,
                                             batched=True).astype(self.dtype)
             done = ts.step_type == LAST
+            # Divergence scrub: a physics explosion can pass through NaN
+            # INSIDE the substep loop (before the env's qacc/velocity
+            # terminations see it at the control-step boundary), and one
+            # non-finite observation/reward in replay poisons the
+            # learner permanently (observed: walk bench-solver run,
+            # 2026-08-19). Terminal-step semantics stay intact: the env
+            # terminates these episodes via the NaN-safe guards
+            # (envs/base.exceeds) and discount 0 drops the bootstrap.
+            bad = ~(jnp.isfinite(new_obs).all(axis=-1)
+                    & jnp.isfinite(ts.reward)
+                    & jnp.isfinite(ts.discount))
+            new_obs = jnp.where(jnp.isfinite(new_obs), new_obs, 0.0)
+            reward = jnp.where(bad, 0.0, ts.reward.astype(self.dtype))
+            discount = jnp.where(bad, 0.0,
+                                 ts.discount.astype(self.dtype))
+            done = done | bad
             # Auto-reset finished envs.
             reset_rngs = jax.random.split(rng_t, self.config.num_envs)
             reset_states, reset_ts = jax.vmap(env.reset)(reset_rngs)
@@ -166,9 +182,7 @@ class DMPOTrainer:
             # from) and the post-step pre-reset obs (the true o_{t+1};
             # terminal obs at done steps) — n_step_transitions needs both
             # to build correctly aligned (o_t, a_t, R, D, o_{t+m}) tuples.
-            out = (obs_flat, new_obs, actions,
-                   ts.reward.astype(self.dtype),
-                   ts.discount.astype(self.dtype), done)
+            out = (obs_flat, new_obs, actions, reward, discount, done)
             return (next_states, next_obs), out
 
         rngs = jax.random.split(rng, T)

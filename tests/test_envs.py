@@ -99,3 +99,19 @@ def test_functional_batch_step():
     states, ts = jax.jit(jax.vmap(env.step))(states, actions)
     assert ts.reward.shape == (B,)
     assert bool(jnp.isfinite(ts.reward).all())
+
+
+def test_nan_safe_termination_guards():
+    """NaN-safe divergence guards (envs/base.exceeds/below): a diverged
+    state that passed through NaN must still terminate — plain `x > t`
+    comparisons are False for NaN and let the episode run forever
+    (observed learner poisoning, round 4)."""
+    import jax.numpy as jnp
+    from flybody_tpu.envs import base as envbase
+    nan = jnp.float32(jnp.nan)
+    assert bool(envbase.exceeds(nan, 1e14))
+    assert bool(envbase.exceeds(jnp.float32(2e14), 1e14))
+    assert not bool(envbase.exceeds(jnp.float32(1.0), 1e14))
+    assert bool(envbase.below(nan, 0.2))
+    assert bool(envbase.below(jnp.float32(0.1), 0.2))
+    assert not bool(envbase.below(jnp.float32(0.5), 0.2))
