@@ -637,3 +637,403 @@ def make_reuse_pe(part: _arrow.Part, lim_dof: tuple, lim_sign: tuple,
                 jnp.swapaxes(fro(jc_o), 1, 2)), (True, True, True, True)
 
     return f
+
+
+# ------------------------------------------------------- full block kernel
+# The block kernel above still receives a PRE-ASSEMBLED Hessian and
+# Woodbury columns from XLA: per-env (108, 72)x(72, 108) JTJH GEMMs,
+# one-hot gathers and packing, all batched tiny matmuls that serialize
+# on the MXU (~12 ms of the bench substep's Newton cost, measured
+# 2026-08-19). The "full" variant moves that assembly INTO the kernel:
+# the cone Hessian, the packed JTJH columns, the limit diagonal and the
+# Woodbury G/U2 operands are built from J / jar / params planes already
+# VMEM-resident, so XLA contributes only the tiny top-k row selection.
+
+
+def _cone_hessian_planes(N, y1, y2, mu, fric, act):
+    """Elliptic-cone Hessian I - dP on (rows, lanes) planes: the six
+    unique entries of the symmetric 3x3 per-row blocks (same math as
+    physics/solver._cone_hessian)."""
+    a = 1.0 / jnp.maximum(mu, 1e-6)
+    c = 1.0 / (1.0 + a * a)
+    T = jnp.sqrt(y1 * y1 + y2 * y2)
+    safe_T = jnp.maximum(T, 1e-15)
+    yh1, yh2 = y1 / safe_T, y2 / safe_T
+    w = (N + a * T) * c
+    awt = a * w / safe_T
+    one = jnp.ones_like(N)
+    zero = jnp.zeros_like(N)
+    H00 = one - c
+    H01 = -(a * c) * yh1
+    H02 = -(a * c) * yh2
+    H11 = one - (a * a * c) * yh1 * yh1 - awt * (one - yh1 * yh1)
+    H12 = (awt - a * a * c) * yh1 * yh2
+    H22 = one - (a * a * c) * yh2 * yh2 - awt * (one - yh2 * yh2)
+    bottom = mu * N + T <= 0.0
+    H00 = jnp.where(bottom, one, H00)
+    H11 = jnp.where(bottom, one, H11)
+    H22 = jnp.where(bottom, one, H22)
+    H01 = jnp.where(bottom, zero, H01)
+    H02 = jnp.where(bottom, zero, H02)
+    H12 = jnp.where(bottom, zero, H12)
+    top = N >= mu * T
+    planes = [jnp.where(top, zero, h)
+              for h in (H00, H01, H02, H11, H12, H22)]
+    H00, H01, H02, H11, H12, H22 = planes
+    fr = fric > 0
+    H00 = jnp.where(fr, H00, (N < 0).astype(N.dtype))
+    H01 = jnp.where(fr, H01, zero)
+    H02 = jnp.where(fr, H02, zero)
+    H11 = jnp.where(fr, H11, zero)
+    H12 = jnp.where(fr, H12, zero)
+    H22 = jnp.where(fr, H22, zero)
+    return tuple(h * act for h in (H00, H01, H02, H11, H12, H22))
+
+
+def _chol3_planes(W00, W01, W02, W11, W12, W22):
+    """Closed-form lower Cholesky of PSD 3x3 blocks on planes (same
+    zero-pivot semantics as physics/solver._chol3_psd: inactive blocks
+    factor to zero rows and drop out of the Woodbury term)."""
+    w11 = jnp.maximum(W00, 0.0)
+    a = jnp.sqrt(w11)
+    ia = jnp.where(a > 1e-12, 1.0 / jnp.maximum(a, 1e-30), 0.0)
+    b = W01 * ia
+    c = W02 * ia
+    d = jnp.sqrt(jnp.maximum(W11 - b * b, 0.0))
+    idd = jnp.where(d > 1e-12, 1.0 / jnp.maximum(d, 1e-30), 0.0)
+    e = (W12 - c * b) * idd
+    f = jnp.sqrt(jnp.maximum(W22 - c * c - e * e, 0.0))
+    return a, b, c, d, e, f
+
+
+def _make_block_full_kernel(part: _arrow.Part, K: int, SB: int,
+                            nlim: int, lim_dof: tuple, lim_sign: tuple,
+                            ls_iters: int, n_iters: int):
+    nv = part.nv
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    los, ds = part.los, part.ds
+    SB3 = 3 * SB
+    fbody = _arrow._make_factor_body(part, packed=True)
+    solveZ = _arrow._make_solve_body(part, SB3)
+    solve1 = _arrow._make_solve_body(part, 1)
+
+    def body(mp_ref, j_ref, ohb_ref, xm_ref, jl_ref, jc_ref, lp_ref,
+             cp_ref, s_ref, st_ref, xm_o, jl_o, jc_o,
+             jh_scr, hp_scr, u2_scr, dw, bw, f_scr, z_scr, ylz, clz,
+             g_scr, t_scr, yl1, cl1, lc_scr, m_scr):
+        dtype = mp_ref.dtype
+        actl, Dl = lp_ref[0], lp_ref[1]
+        mu, fric, actc, Dc, hact = (cp_ref[0], cp_ref[1], cp_ref[2],
+                                    cp_ref[3], cp_ref[4])
+        smat = s_ref[...]
+        stmat = st_ref[...]
+        N0, y10, y20 = jc_ref[0], jc_ref[1], jc_ref[2]
+
+        # --- Hessian assembly (JH rows, packed JTJH columns, limit
+        # diagonal), all VMEM-resident.
+        W00, W01, W02, W11, W12, W22 = _cone_hessian_planes(
+            N0, y10, y20, mu, fric, hact)
+        W00, W01, W02 = W00 * Dc, W01 * Dc, W02 * Dc
+        W11, W12, W22 = W11 * Dc, W12 * Dc, W22 * Dc
+        Jv = j_ref[...].reshape(K, 3, nv, -1)
+        J0, J1, J2 = Jv[:, 0], Jv[:, 1], Jv[:, 2]  # (K, nv, L)
+        jh0 = (W00[:, None, :] * J0 + W01[:, None, :] * J1
+               + W02[:, None, :] * J2)
+        jh1 = (W01[:, None, :] * J0 + W11[:, None, :] * J1
+               + W12[:, None, :] * J2)
+        jh2 = (W02[:, None, :] * J0 + W12[:, None, :] * J1
+               + W22[:, None, :] * J2)
+        jh_scr[...] = jnp.stack([jh0, jh1, jh2],
+                                axis=1).reshape(3 * K, nv, -1)
+
+        hd = Dl * actl * (jl_ref[0] < 0.0)
+        sabs = smat * smat  # entries are 0/+-1: |S| scatters the diag
+        hd_dof = jax.lax.dot(
+            sabs, hd, precision=jax.lax.Precision.HIGHEST) + 1e-12
+
+        hp_scr[...] = mp_ref[...]
+        for li, (lo, d) in enumerate(zip(los, ds)):
+            for b in range(d):
+                jcol = j_ref[:, lo + b, :][:, None, :]  # (3K, 1, L)
+                acc = jnp.sum(jh_scr[:, lo:lo + d, :] * jcol, axis=0)
+                hp_scr[li, 0:d, b, :] = hp_scr[li, 0:d, b, :] + acc
+                if nr:
+                    accB = jnp.sum(jh_scr[:, 0:nr, :] * jcol, axis=0)
+                    hp_scr[li, dm:dm + nr, b, :] = (
+                        hp_scr[li, dm:dm + nr, b, :] + accB)
+                hp_scr[li, b, b, :] = (hp_scr[li, b, b, :]
+                                       + hd_dof[lo + b, :])
+        for b in range(nr):
+            jcol = j_ref[:, b, :][:, None, :]
+            accR = jnp.sum(jh_scr[:, 0:nr, :] * jcol, axis=0)
+            hp_scr[nl, 0:nr, b, :] = hp_scr[nl, 0:nr, b, :] + accR
+            hp_scr[nl, b, b, :] = hp_scr[nl, b, b, :] + hd_dof[b, :]
+
+        # --- Woodbury operands from the selected breaking rows.
+        ohb = ohb_ref[...]  # (SB, K, L)
+
+        def sel(p):
+            return jnp.sum(ohb * p[None, :, :], axis=1)  # (SB, L)
+
+        jb0, jb1, jb2 = sel(N0), sel(y10), sel(y20)
+        mub, fricb, Db = sel(mu), sel(fric), sel(Dc)
+        actb = sel(actc - hact)  # = ohb @ (con_break * con_active)
+        V00, V01, V02, V11, V12, V22 = _cone_hessian_planes(
+            jb0, jb1, jb2, mub, fricb, actb)
+        ga, gb, gc, gd, ge, gf = _chol3_planes(
+            V00 * Db, V01 * Db, V02 * Db, V11 * Db, V12 * Db, V22 * Db)
+        for s in range(SB):
+            oh_s = ohb[s][:, None, :]  # (K, 1, L)
+            vb0 = jnp.sum(J0 * oh_s, axis=0)  # (nv, L)
+            vb1 = jnp.sum(J1 * oh_s, axis=0)
+            vb2 = jnp.sum(J2 * oh_s, axis=0)
+            u2_scr[3 * s + 0] = ga[s] * vb0 + gb[s] * vb1 + gc[s] * vb2
+            u2_scr[3 * s + 1] = gd[s] * vb1 + ge[s] * vb2
+            u2_scr[3 * s + 2] = gf[s] * vb2
+
+        # --- Factor, Z, capacitance (as in the block kernel).
+        fbody(hp_scr, f_scr, dw, bw)
+        solveZ(f_scr, u2_scr, z_scr, ylz, clz)
+        rows_c = jax.lax.broadcasted_iota(jnp.int32, (SB3, 1, 1), 0)
+        cols_c = jax.lax.broadcasted_iota(jnp.int32, (1, SB3, 1), 1)
+        eye_c = (rows_c == cols_c).astype(dtype)
+        cw = jnp.concatenate([
+            jnp.sum(u2_scr[a:a + 1, :, :] * z_scr[...], axis=1)[None]
+            for a in range(SB3)], axis=0)
+        cw = cw + eye_c * (1.0 + 1e-10)
+        lc = jnp.zeros_like(cw)
+        for k in range(SB3):
+            dkk = cw[k:k + 1, k:k + 1, :]
+            inv = jax.lax.rsqrt(jnp.maximum(dkk, 1e-30))
+            c = jnp.where(rows_c >= k, cw[:, k:k + 1, :] * inv, 0.0)
+            r = jnp.where(cols_c >= k, cw[k:k + 1, :, :] * inv, 0.0)
+            lc = lc + c * (cols_c == k).astype(dtype)
+            cw = cw - c * r
+        lc_scr[...] = _tri_inv_lower(lc, SB3, dtype)
+
+        def mdx_packed(dx):
+            xr = dx[0:nr, :]
+            yr = jnp.sum(mp_ref[nl, 0:nr, 0:nr, :] * xr[None, :, :],
+                         axis=1)
+            for li, (lo, d) in enumerate(zip(los, ds)):
+                xl = dx[lo:lo + d, :]
+                Dblk = mp_ref[li, 0:dm, 0:d, :]
+                ylv = jnp.sum(Dblk * xl[None, :, :], axis=1)
+                Bblk = mp_ref[li, dm:dm + nr, 0:d, :]
+                ylb = jnp.sum(Bblk * xr[:, None, :], axis=0)
+                yr = yr + jnp.sum(Bblk * xl[None, :, :], axis=1)
+                m_scr[0, lo:lo + d, :] = ylv[0:d, :] + ylb
+            m_scr[0, 0:nr, :] = yr
+            return m_scr[0]
+
+        def one_iter(x, msm, jar_l, N, y1, y2):
+            f_l = jnp.where(jar_l < 0, -Dl * jar_l * actl, 0.0)
+            r0, r1, r2 = _cone_residual_planes(N, y1, y2, mu, fric)
+            Dact = Dc * actc
+            f0, f1, f2 = -Dact * r0, -Dact * r1, -Dact * r2
+            g = msm - jax.lax.dot(smat, f_l,
+                                  precision=jax.lax.Precision.HIGHEST)
+            frows = jnp.stack([f0, f1, f2], axis=1).reshape(3 * K, -1)
+            g = g - jnp.sum(j_ref[...] * frows[:, None, :], axis=0)
+
+            g_scr[...] = g[None]
+            solve1(f_scr, g_scr, t_scr, yl1, cl1)
+            t = t_scr[0]
+
+            Ut = jnp.sum(u2_scr[...] * t[None, :, :], axis=1)
+            wv = jnp.sum(lc_scr[...] * Ut[None, :, :], axis=1)
+            wb = jnp.sum(lc_scr[...] * wv[:, None, :], axis=0)
+            dx = -(t - jnp.sum(z_scr[...] * wb[:, None, :], axis=0))
+
+            mdx = mdx_packed(dx)
+            jv = jnp.sum(j_ref[...] * dx[None, :, :], axis=1)
+            jv3 = jv.reshape(K, 3, -1)
+            jvn, jvt1, jvt2 = jv3[:, 0, :], jv3[:, 1, :], jv3[:, 2, :]
+            jv_l = jax.lax.dot(stmat, dx,
+                               precision=jax.lax.Precision.HIGHEST)
+            sm0 = jnp.sum(msm * dx, axis=0, keepdims=True)
+            smm = jnp.sum(dx * mdx, axis=0, keepdims=True)
+            lim_planes = jnp.stack([jar_l, jv_l, actl, Dl])
+            con_planes = jnp.stack([N, y1, y2, jvn, jvt1, jvt2,
+                                    mu, fric, actc, Dc])
+            alpha = _ls.search_planes(lim_planes, con_planes, sm0, smm,
+                                      6, ls_iters)
+            return (x + alpha * dx, msm + alpha * mdx,
+                    jar_l + alpha * jv_l, N + alpha * jvn,
+                    y1 + alpha * jvt1, y2 + alpha * jvt2)
+
+        st = (xm_ref[0], xm_ref[1], jl_ref[0],
+              jc_ref[0], jc_ref[1], jc_ref[2])
+        for _ in range(n_iters):
+            st = one_iter(*st)
+        x, msm, jar_l, N, y1, y2 = st
+        xm_o[...] = jnp.stack([x, msm])
+        jl_o[...] = jar_l[None]
+        jc_o[...] = jnp.stack([N, y1, y2])
+
+    return body
+
+
+@functools.lru_cache(maxsize=32)
+def _block_full_fn(part: _arrow.Part, K: int, SB: int, nlim: int,
+                   lim_dof: tuple, lim_sign: tuple, ls_iters: int,
+                   n_iters: int, interpret: bool = False):
+    nv = part.nv
+    nl, dm, nr = len(part.ds), part.dmax, part.nr
+    SB3 = 3 * SB
+    body = _make_block_full_kernel(part, K, SB, nlim, lim_dof, lim_sign,
+                                   ls_iters, n_iters)
+
+    @jax.jit
+    def run(Mp_t, J_t, ohb_t, xm_t, jl_t, jc_t, lp_t, cp_t, S_t, ST_t):
+        B = Mp_t.shape[-1]
+        grid = (B // LANES,)
+
+        def spec(*shape):
+            return pl.BlockSpec(shape + (LANES,),
+                                lambda i: (0,) * len(shape) + (i,),
+                                memory_space=pltpu.VMEM)
+
+        def flat_spec(*shape):
+            return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                memory_space=pltpu.VMEM)
+
+        pk = spec(nl + 1, dm + nr, dm)
+        return pl.pallas_call(
+            body,
+            out_shape=(jax.ShapeDtypeStruct((2, nv, B), Mp_t.dtype),
+                       jax.ShapeDtypeStruct((1, nlim, B), Mp_t.dtype),
+                       jax.ShapeDtypeStruct((3, K, B), Mp_t.dtype)),
+            grid=grid,
+            in_specs=[pk, spec(3 * K, nv), spec(SB, K),
+                      spec(2, nv), spec(1, nlim), spec(3, K),
+                      spec(2, nlim), spec(5, K),
+                      flat_spec(nv, nlim), flat_spec(nlim, nv)],
+            out_specs=(spec(2, nv), spec(1, nlim), spec(3, K)),
+            scratch_shapes=[
+                pltpu.VMEM((3 * K, nv, LANES), jnp.float32),     # jh
+                pltpu.VMEM((nl + 1, dm + nr, dm, LANES),
+                           jnp.float32),                          # hp
+                pltpu.VMEM((SB3, nv, LANES), jnp.float32),        # u2
+                pltpu.VMEM((nl, dm, dm, LANES), jnp.float32),     # dw
+                pltpu.VMEM((max(nl, 1), max(nr, 1), dm, LANES),
+                           jnp.float32),                          # bw
+                pltpu.VMEM((nl + 1, dm + nr, dm, LANES),
+                           jnp.float32),                          # f
+                pltpu.VMEM((SB3, nv, LANES), jnp.float32),        # z
+                pltpu.VMEM((nl, SB3, dm, LANES), jnp.float32),    # ylz
+                pltpu.VMEM((nl, SB3, dm, LANES), jnp.float32),    # clz
+                pltpu.VMEM((1, nv, LANES), jnp.float32),          # g
+                pltpu.VMEM((1, nv, LANES), jnp.float32),          # t
+                pltpu.VMEM((nl, 1, dm, LANES), jnp.float32),      # yl1
+                pltpu.VMEM((nl, 1, dm, LANES), jnp.float32),      # cl1
+                pltpu.VMEM((SB3, SB3, LANES), jnp.float32),       # lc
+                pltpu.VMEM((1, nv, LANES), jnp.float32)],         # m
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024),
+            interpret=interpret,
+        )(Mp_t, J_t, ohb_t, xm_t, jl_t, jc_t, lp_t, cp_t, S_t, ST_t)
+
+    return run
+
+
+def _ref_block_full(part, lim_dof, lim_sign, ls_iters, n_iters, Mp,
+                    conJ, ohb, x, msm, jar_l, jar_c, lim_params,
+                    con_params):
+    """Single-env jnp reference: Hessian/Woodbury assembly (same math as
+    physics/solver.fresh_step_arrow's prologue) + the block reference."""
+    from flybody_tpu.physics import solver as _sol
+    mu, fric, actc, Dc, hact = (con_params[0], con_params[1],
+                                con_params[2], con_params[3],
+                                con_params[4])
+    actl, Dl = lim_params[0], lim_params[1]
+    K, _, nv = conJ.shape
+    Hc = _sol._cone_hessian(jar_c, mu, fric, hact) * Dc[:, None, None]
+    JH = jnp.einsum('kij,kjv->kiv', Hc, conJ)
+    JTJH = jnp.einsum('kiv,kiw->vw', conJ, JH)
+    hd = Dl * actl * (jar_l < 0)
+    dof = np.array(lim_dof, dtype=np.int64)
+    hd_dof = jnp.zeros(nv, x.dtype).at[dof].add(hd)
+    Hp = Mp + _arrow.pack_sym_ref(part, JTJH, pad_identity=False)
+    Hp = _arrow.add_diag_packed(part, Hp, hd_dof + 1e-12)
+    jar_b = ohb @ jar_c
+    mub, fricb, Db = ohb @ mu, ohb @ fric, ohb @ Dc
+    actb = ohb @ (actc - hact)
+    Wb = _sol._cone_hessian(jar_b, mub, fricb, actb) * Db[:, None, None]
+    G = _sol._chol3_psd(Wb)
+    Vb = (ohb @ conJ.reshape(K, 3 * nv)).reshape(-1, 3, nv)
+    Vt = jnp.sum(G[:, :, :, None] * Vb[:, :, None, :], axis=1)
+    U = Vt.reshape(-1, nv).T
+    return _ref_block(part, lim_dof, lim_sign, ls_iters, n_iters, Hp,
+                      Mp, conJ, U, x, msm, jar_l, jar_c, lim_params,
+                      con_params)
+
+
+@functools.lru_cache(maxsize=32)
+def make_newton_block_full_pe(part: _arrow.Part, lim_dof: tuple,
+                              lim_sign: tuple, ls_iters: int,
+                              n_iters: int, interpret: bool = False):
+    """Per-env whole-Newton-block op INCLUDING Hessian/Woodbury assembly
+    (packed M in, no pre-assembled H); pallas-batched under vmap on TPU.
+
+    Per-env args: Mp packed (nl+1, dm+nr, dm), conJ (K, 3, nv),
+    ohb (SB, K) one-hot selected breaking rows, x/msm (nv,), jar_l (L,),
+    jar_c (K, 3), lim_params (2, L), con_params (5, K)
+    [mu | frictional | active | D | hess_active]."""
+    nlim = len(lim_dof)
+
+    @custom_batching.custom_vmap
+    def f(Mp, conJ, ohb, x, msm, jar_l, jar_c, lim_params, con_params):
+        return _ref_block_full(part, lim_dof, lim_sign, ls_iters,
+                               n_iters, Mp, conJ, ohb, x, msm, jar_l,
+                               jar_c, lim_params, con_params)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, Mp, conJ, ohb, x, msm, jar_l,
+              jar_c, lim_params, con_params):
+        del axis_size
+        args = (Mp, conJ, ohb, x, msm, jar_l, jar_c, lim_params,
+                con_params)
+        if not all(in_batched) or not (_use_pallas() or interpret):
+            axes = [0 if b else None for b in in_batched]
+            out = jax.vmap(lambda *a: _ref_block_full(
+                part, lim_dof, lim_sign, ls_iters, n_iters, *a),
+                in_axes=axes)(*args)
+            return out, (True, True, True, True)
+        B = Mp.shape[0]
+        K = conJ.shape[1]
+        SB = ohb.shape[1]
+        pad = (-B) % LANES
+
+        def tol(v):
+            v = jnp.moveaxis(v, 0, -1)
+            if pad:
+                fill = jnp.zeros(v.shape[:-1] + (pad,), v.dtype)
+                v = jnp.concatenate([v, fill], axis=-1)
+            return v
+
+        Mp_t = tol(Mp)
+        if pad:
+            Mp_t = Mp_t.at[..., B:].set(
+                _arrow._identity_packed(part, Mp.dtype))
+        J_t = tol(conJ.reshape(B, 3 * K, -1))
+        ohb_t = tol(ohb)
+        xm_t = tol(jnp.stack([x, msm], axis=1))
+        jl_t = tol(jar_l)[None]
+        jc_t = tol(jnp.swapaxes(jar_c, 1, 2))
+        lp_t = tol(lim_params)
+        cp_t = tol(con_params)
+        run = _block_full_fn(part, K, SB, nlim, lim_dof, lim_sign,
+                             ls_iters, n_iters, interpret)
+        S_t, ST_t = _scatter_mats(part.nv, lim_dof, lim_sign, Mp.dtype)
+        xm_o, jl_o, jc_o = run(Mp_t, J_t, ohb_t, xm_t, jl_t, jc_t,
+                               lp_t, cp_t, S_t, ST_t)
+
+        def fro(v):
+            return jnp.moveaxis(v[..., :B], -1, 0)
+
+        xm = fro(xm_o)
+        return (xm[:, 0], xm[:, 1], fro(jl_o)[:, 0],
+                jnp.swapaxes(fro(jc_o), 1, 2)), (True, True, True, True)
+
+    return f

@@ -835,12 +835,24 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
                   jar_c, lim_params, con_params)
 
     def newton_block(st, n):
-        """A whole refactor block in ONE kernel launch: Hessian/Woodbury
-        operand assembly in XLA (the JTJH GEMM wants the MXU), then
-        factor + Z-solve + capacitance Cholesky + n full Newton
-        iterations VMEM-resident (ops/newton_fused.make_newton_block_pe).
-        Packed-M path only."""
+        """A whole refactor block in ONE kernel launch. Default (FULL)
+        form: Hessian assembly (cone-Hessian-weighted packed JTJH +
+        limit diagonal) AND the Woodbury operands are built in-kernel
+        from J/jar/params planes (make_newton_block_full_pe) — the XLA
+        per-env JTJH GEMMs and one-hot gathers are batched tiny matmuls
+        that serialize on the MXU (~12 ms/substep measured 2026-08-19).
+        FLYBODY_NEWTON_FULL=0 restores the split form (XLA assembly +
+        make_newton_block_pe) for A/B. Packed-M path only."""
+        import os as _os
         x, msm, jar_l, jar_c = st
+        if _os.environ.get('FLYBODY_NEWTON_FULL', '1').strip().lower() \
+                not in ('0', 'false', 'no', 'off'):
+            con_params5 = jnp.concatenate(
+                [con_params, hess_active[None]], axis=0)
+            fn = _nf.make_newton_block_full_pe(
+                part, _lim_dof_t, _lim_sign_t, ls_iterations, n)
+            return fn(M, efc.con_J, ohb, x, msm, jar_l, jar_c,
+                      lim_params, con_params5)
         Hp = hessian(jar_l, jar_c)
         jar_b = ohb @ jar_c
         Wb = _cone_hessian(jar_b, mub, fricb, actb) * Db[:, None, None]
