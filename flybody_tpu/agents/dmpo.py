@@ -183,6 +183,16 @@ class DMPOLearner:
                           state.dual_params)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
+        # Non-finite-gradient guard: one poisoned batch (inf/NaN reaching
+        # the loss) must not NaN the parameters permanently — zero the
+        # whole update instead and surface it as a stat. (Observed: walk
+        # bench-solver runs 2026-08-19, learner stats all-nan from one
+        # iteration on.)
+        finite = jnp.asarray(True)
+        for leaf in jax.tree.leaves(grads):
+            finite = finite & jnp.isfinite(leaf).all()
+        grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         gp, gc, gd = grads
 
         pu, new_popt = self.policy_optimizer.update(gp, state.policy_opt)
@@ -204,6 +214,7 @@ class DMPOLearner:
                 steps % self.config.target_critic_update_period == 0, new,
                 old), critic_params, state.target_critic_params)
 
+        stats['nonfinite_grad'] = 1.0 - finite.astype(dtype)
         return DMPOState(
             policy_params=policy_params, critic_params=critic_params,
             target_policy_params=tp, target_critic_params=tc,

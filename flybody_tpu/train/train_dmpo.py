@@ -182,15 +182,19 @@ class DMPOTrainer:
             # from) and the post-step pre-reset obs (the true o_{t+1};
             # terminal obs at done steps) — n_step_transitions needs both
             # to build correctly aligned (o_t, a_t, R, D, o_{t+m}) tuples.
-            out = (obs_flat, new_obs, actions, reward, discount, done)
+            diag = (jnp.sum(bad.astype(jnp.int32)),
+                    jnp.max(jnp.abs(new_obs)))
+            out = (obs_flat, new_obs, actions, reward, discount, done,
+                   diag)
             return (next_states, next_obs), out
 
         rngs = jax.random.split(rng, T)
         (env_states, obs_flat), (obs_seq, next_obs_seq, act_seq, rew_seq,
-                                 disc_seq, done_seq) = jax.lax.scan(
+                                 disc_seq, done_seq,
+                                 diag) = jax.lax.scan(
             body, (state.env_states, state.env_obs_flat), rngs)
         return (env_states, obs_flat, obs_seq, next_obs_seq, act_seq,
-                rew_seq, disc_seq, done_seq)
+                rew_seq, disc_seq, done_seq, diag)
 
     # ------------------------------------------------------------------ step
 
@@ -200,7 +204,7 @@ class DMPOTrainer:
         cfg = self.config
         rng, r_roll, r_learn = jax.random.split(state.rng, 3)
         (env_states, obs_flat, obs_seq, next_obs_seq, act_seq, rew_seq,
-         disc_seq, done_seq) = self._env_rollout(state, r_roll)
+         disc_seq, done_seq, roll_diag) = self._env_rollout(state, r_roll)
 
         trans = replay_lib.n_step_transitions(
             obs_seq, next_obs_seq, act_seq, rew_seq, disc_seq, done_seq,
@@ -237,8 +241,14 @@ class DMPOTrainer:
                 learner)
             return learner, stats
 
-        learner, stats = jax.lax.scan(learner_scan, state.learner, rngs)
-        stats = jax.tree.map(lambda x: x[-1], stats)
+        learner, stats_seq = jax.lax.scan(learner_scan, state.learner,
+                                          rngs)
+        stats = jax.tree.map(lambda x: x[-1], stats_seq)
+        if 'nonfinite_grad' in stats:
+            # Count skipped (non-finite-gradient) updates over the whole
+            # iteration, not just the last learner step.
+            stats['nonfinite_grad'] = jnp.sum(
+                stats_seq['nonfinite_grad'])
 
         new_state = TrainState(
             learner=learner, replay=replay, env_states=env_states,
@@ -249,6 +259,12 @@ class DMPOTrainer:
         stats['env_steps'] = new_state.env_steps
         stats['episodes'] = new_state.episodes
         stats['mean_step_reward'] = jnp.mean(rew_seq)
+        # Divergence diagnostics: transitions scrubbed for non-finite
+        # obs/reward this iteration, and the largest observation
+        # magnitude seen (huge-but-finite obs poison the critic without
+        # tripping the scrub).
+        stats['scrubbed'] = jnp.sum(roll_diag[0])
+        stats['obs_absmax'] = jnp.max(roll_diag[1])
         return new_state, stats
 
     # ------------------------------------------------------- checkpointing
