@@ -370,8 +370,17 @@ def test_compiled_efc_stage_kernel(monkeypatch):
 
 def test_compiled_full_newton_block():
     """The FULL Newton block kernel (in-kernel Hessian/Woodbury
-    assembly) vs its jnp reference, compiled on the real device, at the
-    walking-model shapes (nlim=204-class dims covered by K=24, SB=8)."""
+    assembly) compiled on the real device, at walking-model-class
+    shapes (nlim=204, K=24, SB=8).
+
+    The in-kernel Hessian differs from the XLA reference's at bf16
+    level (the reference einsum runs at MXU DEFAULT precision), and a
+    Newton direction difference of that size amplifies chaotically
+    through the exact line search — direct iterate comparison is
+    meaningless. Instead this asserts the chaos-robust invariants:
+    finiteness, bit-level internal consistency of the carried state
+    (jar/msm updates must equal J/S^T/M times the x update), and
+    primal-cost descent at least as good as the reference's."""
     from flybody_tpu.model import compile as fmc
     from flybody_tpu.ops import arrow, newton_fused
 
@@ -403,7 +412,10 @@ def test_compiled_full_newton_block():
         ohb_np[b, np.arange(SB), rows] = 1.0
     ohb = jnp.asarray(ohb_np)
     x = jnp.asarray(rng.randn(B, nv).astype(np.float32) * 0.1)
-    msm = jnp.asarray(rng.randn(B, nv).astype(np.float32) * 0.1)
+    # msm consistent with x (msm = M (x - a_free) for some a_free).
+    a_free = jnp.asarray(rng.randn(B, nv).astype(np.float32) * 0.1)
+    msm = jax.vmap(lambda m, xv: arrow.matvec_packed(part, m, xv))(
+        Mps, x - a_free)
     jar_l = jnp.asarray(rng.randn(B, nlim).astype(np.float32) * 0.01)
     jar_c = jnp.asarray(rng.randn(B, K, 3).astype(np.float32) * 0.01)
     lim_params = jnp.asarray(np.stack([
@@ -420,12 +432,50 @@ def test_compiled_full_newton_block():
 
     args = (Mps, conJ, ohb, x, msm, jar_l, jar_c, lim_params,
             con_params)
-    ref = jax.jit(jax.vmap(lambda *a: newton_fused._ref_block_full(
-        part, lim_dof, lim_sign, 30, 3, *a)))(*args)
     full = newton_fused.make_newton_block_full_pe(part, lim_dof,
-                                                  lim_sign, 30, 3)
-    out = jax.jit(jax.vmap(full))(*args)
-    for nm, o, r in zip(['x', 'msm', 'jar_l', 'jar_c'], out, ref):
-        got, want = np.asarray(o), np.asarray(r)
-        close = np.isclose(got, want, rtol=1e-2, atol=2e-3)
-        assert close.mean() > 0.995, (nm, close.mean())
+                                                  lim_sign, 12, 3)
+    xo, msmo, jlo, jco = jax.jit(jax.vmap(full))(*args)
+    xo, msmo = np.asarray(xo), np.asarray(msmo)
+    jlo, jco = np.asarray(jlo), np.asarray(jco)
+    for nm, v in (('x', xo), ('msm', msmo), ('jar_l', jlo),
+                  ('jar_c', jco)):
+        assert np.isfinite(v).all(), nm
+
+    # Internal consistency: the carried state must equal the linear
+    # maps of the accepted total step (catches any Mosaic garbage).
+    dx = jnp.asarray(xo) - x
+    jl_pred = jar_l + jnp.einsum(
+        'bv,lv->bl', dx,
+        jnp.asarray(np.eye(nv, dtype=np.float32)[list(lim_dof)]
+                    * np.asarray(lim_sign, np.float32)[:, None]))
+    jc_pred = jar_c + jnp.einsum('bkiv,bv->bki', conJ, dx)
+    msm_pred = msm + jax.vmap(
+        lambda m, d: arrow.matvec_packed(part, m, d))(Mps, dx)
+    np.testing.assert_allclose(jlo, np.asarray(jl_pred), atol=5e-3)
+    np.testing.assert_allclose(jco, np.asarray(jc_pred), atol=5e-3)
+    np.testing.assert_allclose(
+        msmo, np.asarray(msm_pred),
+        atol=5e-3 + 1e-3 * np.abs(np.asarray(msm_pred)).max())
+
+    # Primal-cost descent comparable to the reference composition.
+    def cost(xv, msv, jl, jc):
+        mu, fric, act, D = (con_params[:, 0], con_params[:, 1],
+                            con_params[:, 2], con_params[:, 3])
+        actl, Dl = lim_params[:, 0], lim_params[:, 1]
+        smooth = 0.5 * jnp.sum((xv - a_free) * msv, axis=-1)
+        cl = 0.5 * jnp.sum(Dl * actl * (jl < 0) * jl ** 2, axis=-1)
+        from flybody_tpu.physics import solver as _sol
+        res = jax.vmap(_sol._cone_residual)(jc, mu, fric, act)
+        cc = 0.5 * jnp.sum(D[:, :, None] * res ** 2, axis=(-2, -1))
+        return smooth + cl + cc
+
+    ref = jax.jit(jax.vmap(lambda *a: newton_fused._ref_block_full(
+        part, lim_dof, lim_sign, 12, 3, *a)))(*args)
+    c0 = np.asarray(cost(x, msm, jar_l, jar_c))
+    ck = np.asarray(cost(jnp.asarray(xo), jnp.asarray(msmo),
+                         jnp.asarray(jlo), jnp.asarray(jco)))
+    cr = np.asarray(cost(ref[0], ref[1], ref[2], ref[3]))
+    assert (ck <= c0 + 1e-3).all(), 'kernel iterates must descend'
+    # Aggregate descent within 5% of the reference composition.
+    assert ck.mean() <= cr.mean() + 0.05 * np.abs(c0.mean()), (
+        ck.mean(), cr.mean(), c0.mean())
