@@ -751,23 +751,35 @@ def _make_block_full_kernel(part: _arrow.Part, K: int, SB: int,
         hd_dof = jax.lax.dot(
             sabs, hd, precision=jax.lax.Precision.HIGHEST) + 1e-12
 
+        # NOTE: every ref slice below keeps ranges (b:b+1) and >=3 dims —
+        # integer indexing of NON-leading ref dims and 1-D (lanes-only)
+        # ref reads/writes silently corrupt on Mosaic (observed
+        # 2026-08-19: finite-but-wrong hp, then NaN at the factor).
         hp_scr[...] = mp_ref[...]
         for li, (lo, d) in enumerate(zip(los, ds)):
             for b in range(d):
-                jcol = j_ref[:, lo + b, :][:, None, :]  # (3K, 1, L)
-                acc = jnp.sum(jh_scr[:, lo:lo + d, :] * jcol, axis=0)
-                hp_scr[li, 0:d, b, :] = hp_scr[li, 0:d, b, :] + acc
+                jcol = j_ref[:, lo + b:lo + b + 1, :]  # (3K, 1, L)
+                acc = jnp.sum(jh_scr[:, lo:lo + d, :] * jcol,
+                              axis=0)[:, None, :]  # (d, 1, L)
+                hp_scr[li, 0:d, b:b + 1, :] = (
+                    hp_scr[li, 0:d, b:b + 1, :] + acc)
                 if nr:
-                    accB = jnp.sum(jh_scr[:, 0:nr, :] * jcol, axis=0)
-                    hp_scr[li, dm:dm + nr, b, :] = (
-                        hp_scr[li, dm:dm + nr, b, :] + accB)
-                hp_scr[li, b, b, :] = (hp_scr[li, b, b, :]
-                                       + hd_dof[lo + b, :])
+                    accB = jnp.sum(jh_scr[:, 0:nr, :] * jcol,
+                                   axis=0)[:, None, :]
+                    hp_scr[li, dm:dm + nr, b:b + 1, :] = (
+                        hp_scr[li, dm:dm + nr, b:b + 1, :] + accB)
+                hp_scr[li, b:b + 1, b:b + 1, :] = (
+                    hp_scr[li, b:b + 1, b:b + 1, :]
+                    + hd_dof[lo + b:lo + b + 1, None, :])
         for b in range(nr):
-            jcol = j_ref[:, b, :][:, None, :]
-            accR = jnp.sum(jh_scr[:, 0:nr, :] * jcol, axis=0)
-            hp_scr[nl, 0:nr, b, :] = hp_scr[nl, 0:nr, b, :] + accR
-            hp_scr[nl, b, b, :] = hp_scr[nl, b, b, :] + hd_dof[b, :]
+            jcol = j_ref[:, b:b + 1, :]
+            accR = jnp.sum(jh_scr[:, 0:nr, :] * jcol,
+                           axis=0)[:, None, :]
+            hp_scr[nl, 0:nr, b:b + 1, :] = (
+                hp_scr[nl, 0:nr, b:b + 1, :] + accR)
+            hp_scr[nl, b:b + 1, b:b + 1, :] = (
+                hp_scr[nl, b:b + 1, b:b + 1, :]
+                + hd_dof[b:b + 1, None, :])
 
         # --- Woodbury operands from the selected breaking rows.
         ohb = ohb_ref[...]  # (SB, K, L)
@@ -783,13 +795,14 @@ def _make_block_full_kernel(part: _arrow.Part, K: int, SB: int,
         ga, gb, gc, gd, ge, gf = _chol3_planes(
             V00 * Db, V01 * Db, V02 * Db, V11 * Db, V12 * Db, V22 * Db)
         for s in range(SB):
-            oh_s = ohb[s][:, None, :]  # (K, 1, L)
+            oh_s = jnp.swapaxes(ohb[s:s + 1], 0, 1)  # (K, 1, L)
             vb0 = jnp.sum(J0 * oh_s, axis=0)  # (nv, L)
             vb1 = jnp.sum(J1 * oh_s, axis=0)
             vb2 = jnp.sum(J2 * oh_s, axis=0)
-            u2_scr[3 * s + 0] = ga[s] * vb0 + gb[s] * vb1 + gc[s] * vb2
-            u2_scr[3 * s + 1] = gd[s] * vb1 + ge[s] * vb2
-            u2_scr[3 * s + 2] = gf[s] * vb2
+            u2_scr[3 * s + 0] = (ga[s:s + 1] * vb0 + gb[s:s + 1] * vb1
+                                 + gc[s:s + 1] * vb2)
+            u2_scr[3 * s + 1] = gd[s:s + 1] * vb1 + ge[s:s + 1] * vb2
+            u2_scr[3 * s + 2] = gf[s:s + 1] * vb2
 
         # --- Factor, Z, capacitance (as in the block kernel).
         fbody(hp_scr, f_scr, dw, bw)

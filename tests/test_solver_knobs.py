@@ -41,6 +41,18 @@ def _rollout(model, data, steps, **kwargs):
     return d
 
 
+@pytest.fixture(autouse=True)
+def _clear_jax_caches():
+    """The CPU XLA compiler segfaults on the ~5th large scan compile in
+    one process (reproducible running this file sequentially; each test
+    passes standalone and 8/8 pass under xdist workers). Dropping the
+    jit/compilation caches between tests keeps the in-process compile
+    footprint at standalone levels."""
+    yield
+    import jax
+    jax.clear_caches()
+
+
 def test_refactor_period_solver_accuracy(model):
     """Per-solve accuracy: from identical contact-rich states, the
     stale-factor config's qacc must track a fully converged Newton
