@@ -770,7 +770,7 @@ def _make_block_full_kernel(part: _arrow.Part, K: int, SB: int,
                         hp_scr[li, dm:dm + nr, b:b + 1, :] + accB)
                 hp_scr[li, b:b + 1, b:b + 1, :] = (
                     hp_scr[li, b:b + 1, b:b + 1, :]
-                    + hd_dof[lo + b:lo + b + 1, None, :])
+                    + hd_dof[lo + b:lo + b + 1, :][:, None, :])
         for b in range(nr):
             jcol = j_ref[:, b:b + 1, :]
             accR = jnp.sum(jh_scr[:, 0:nr, :] * jcol,
@@ -779,7 +779,7 @@ def _make_block_full_kernel(part: _arrow.Part, K: int, SB: int,
                 hp_scr[nl, 0:nr, b:b + 1, :] + accR)
             hp_scr[nl, b:b + 1, b:b + 1, :] = (
                 hp_scr[nl, b:b + 1, b:b + 1, :]
-                + hd_dof[b:b + 1, None, :])
+                + hd_dof[b:b + 1, :][:, None, :])
 
         # --- Woodbury operands from the selected breaking rows.
         ohb = ohb_ref[...]  # (SB, K, L)
