@@ -708,7 +708,23 @@ def _chol3_planes(W00, W01, W02, W11, W12, W22):
 
 def _make_block_full_kernel(part: _arrow.Part, K: int, SB: int,
                             nlim: int, lim_dof: tuple, lim_sign: tuple,
-                            ls_iters: int, n_iters: int):
+                            ls_iters: int, n_iters: int,
+                            whole_solve: bool = False):
+    """whole_solve=False: one refactor block over carried state
+    (x, msm, jar_l, jar_c planes in / out).
+
+    whole_solve=True: the ENTIRE solver.solve in one launch —
+    MuJoCo-style warmstart selection (primal-cost argmin over
+    {warmstart, a_free}), jar/msm initialization, Hessian/Woodbury
+    assembly, n_iters Newton iterations, and the final constraint
+    forces + qfrc_constraint = S f_l + J^T f_c. Inputs repurposed:
+    xm_ref = [a_free, warmstart], lp_ref = (3, nlim) [act, D, aref],
+    cp_ref = (8, K) [mu | fric | act | D | hess_act | aref_n/t1/t2];
+    outputs xm_o = [qacc, qfrc], jl_o = f_l, jc_o = f_c planes. This
+    removes every XLA-side pass over con_J in solve(): the warmstart
+    cost comparison, init_state and the final J^T f contraction each
+    re-read the (B, K, 3, nv) Jacobian from HBM (~255 MB at batch
+    8192)."""
     nv = part.nv
     nl, dm, nr = len(part.ds), part.dmax, part.nr
     los, ds = part.los, part.ds
@@ -727,7 +743,65 @@ def _make_block_full_kernel(part: _arrow.Part, K: int, SB: int,
                                     cp_ref[3], cp_ref[4])
         smat = s_ref[...]
         stmat = st_ref[...]
-        N0, y10, y20 = jc_ref[0], jc_ref[1], jc_ref[2]
+
+        def mdx_packed(dx):
+            xr = dx[0:nr, :]
+            yr = jnp.sum(mp_ref[nl, 0:nr, 0:nr, :] * xr[None, :, :],
+                         axis=1)
+            for li, (lo, d) in enumerate(zip(los, ds)):
+                xl = dx[lo:lo + d, :]
+                Dblk = mp_ref[li, 0:dm, 0:d, :]
+                ylv = jnp.sum(Dblk * xl[None, :, :], axis=1)
+                Bblk = mp_ref[li, dm:dm + nr, 0:d, :]
+                ylb = jnp.sum(Bblk * xr[:, None, :], axis=0)
+                yr = yr + jnp.sum(Bblk * xl[None, :, :], axis=1)
+                m_scr[0, lo:lo + d, :] = ylv[0:d, :] + ylb
+            m_scr[0, 0:nr, :] = yr
+            return m_scr[0]
+
+        if whole_solve:
+            # Input reinterpretation (same specs as the block form):
+            # xm_ref = [a_free, warmstart], jl_ref = lim aref planes,
+            # jc_ref = contact aref planes.
+            arefl = jl_ref[0]
+            an, at1, at2 = jc_ref[0], jc_ref[1], jc_ref[2]
+            a_free = xm_ref[0]
+            ws = xm_ref[1]
+
+            def jar_of(xv):
+                jl = jax.lax.dot(
+                    stmat, xv,
+                    precision=jax.lax.Precision.HIGHEST) - arefl
+                jv = jnp.sum(j_ref[...] * xv[None, :, :], axis=1)
+                jv3 = jv.reshape(K, 3, -1)
+                return (jl, jv3[:, 0, :] - an, jv3[:, 1, :] - at1,
+                        jv3[:, 2, :] - at2)
+
+            def con_cost(jl, N, y1, y2, smooth):
+                cl = 0.5 * jnp.sum(
+                    Dl * actl * (jl < 0.0) * jl * jl, axis=0)
+                r0, r1, r2 = _cone_residual_planes(N, y1, y2, mu, fric)
+                cc = 0.5 * jnp.sum(
+                    Dc * actc * (r0 * r0 + r1 * r1 + r2 * r2), axis=0)
+                return smooth + cl + cc
+
+            jl_w, Nw, y1w, y2w = jar_of(ws)
+            mdw = mdx_packed(ws - a_free)
+            c_ws = con_cost(jl_w, Nw, y1w, y2w,
+                            0.5 * jnp.sum((ws - a_free) * mdw, axis=0))
+            jl_a, Na, y1a, y2a = jar_of(a_free)
+            c_af = con_cost(jl_a, Na, y1a, y2a, 0.0)
+            use_ws = c_ws < c_af  # (L,)
+            x0 = jnp.where(use_ws[None, :], ws, a_free)
+            msm0 = jnp.where(use_ws[None, :], mdw,
+                             jnp.zeros_like(mdw))
+            jar_l0 = jnp.where(use_ws[None, :], jl_w, jl_a)
+            N0 = jnp.where(use_ws[None, :], Nw, Na)
+            y10 = jnp.where(use_ws[None, :], y1w, y1a)
+            y20 = jnp.where(use_ws[None, :], y2w, y2a)
+        else:
+            jar_l0 = jl_ref[0]
+            N0, y10, y20 = jc_ref[0], jc_ref[1], jc_ref[2]
 
         # --- Hessian assembly (JH rows, packed JTJH columns, limit
         # diagonal), all VMEM-resident.
@@ -746,7 +820,7 @@ def _make_block_full_kernel(part: _arrow.Part, K: int, SB: int,
         jh_scr[...] = jnp.stack([jh0, jh1, jh2],
                                 axis=1).reshape(3 * K, nv, -1)
 
-        hd = Dl * actl * (jl_ref[0] < 0.0)
+        hd = Dl * actl * (jar_l0 < 0.0)
         sabs = smat * smat  # entries are 0/+-1: |S| scatters the diag
         hd_dof = jax.lax.dot(
             sabs, hd, precision=jax.lax.Precision.HIGHEST) + 1e-12
@@ -824,21 +898,6 @@ def _make_block_full_kernel(part: _arrow.Part, K: int, SB: int,
             cw = cw - c * r
         lc_scr[...] = _tri_inv_lower(lc, SB3, dtype)
 
-        def mdx_packed(dx):
-            xr = dx[0:nr, :]
-            yr = jnp.sum(mp_ref[nl, 0:nr, 0:nr, :] * xr[None, :, :],
-                         axis=1)
-            for li, (lo, d) in enumerate(zip(los, ds)):
-                xl = dx[lo:lo + d, :]
-                Dblk = mp_ref[li, 0:dm, 0:d, :]
-                ylv = jnp.sum(Dblk * xl[None, :, :], axis=1)
-                Bblk = mp_ref[li, dm:dm + nr, 0:d, :]
-                ylb = jnp.sum(Bblk * xr[:, None, :], axis=0)
-                yr = yr + jnp.sum(Bblk * xl[None, :, :], axis=1)
-                m_scr[0, lo:lo + d, :] = ylv[0:d, :] + ylb
-            m_scr[0, 0:nr, :] = yr
-            return m_scr[0]
-
         def one_iter(x, msm, jar_l, N, y1, y2):
             f_l = jnp.where(jar_l < 0, -Dl * jar_l * actl, 0.0)
             r0, r1, r2 = _cone_residual_planes(N, y1, y2, mu, fric)
@@ -875,27 +934,45 @@ def _make_block_full_kernel(part: _arrow.Part, K: int, SB: int,
                     jar_l + alpha * jv_l, N + alpha * jvn,
                     y1 + alpha * jvt1, y2 + alpha * jvt2)
 
-        st = (xm_ref[0], xm_ref[1], jl_ref[0],
-              jc_ref[0], jc_ref[1], jc_ref[2])
+        if whole_solve:
+            st = (x0, msm0, jar_l0, N0, y10, y20)
+        else:
+            st = (xm_ref[0], xm_ref[1], jar_l0, N0, y10, y20)
         for _ in range(n_iters):
             st = one_iter(*st)
         x, msm, jar_l, N, y1, y2 = st
-        xm_o[...] = jnp.stack([x, msm])
-        jl_o[...] = jar_l[None]
-        jc_o[...] = jnp.stack([N, y1, y2])
-
+        if whole_solve:
+            # Final constraint forces + qfrc = S f_l + J^T f_c (same
+            # math as solver.forces_from / the solve() tail).
+            f_l = jnp.where(jar_l < 0, -Dl * jar_l * actl, 0.0)
+            r0, r1, r2 = _cone_residual_planes(N, y1, y2, mu, fric)
+            Dact = Dc * actc
+            f0, f1, f2 = -Dact * r0, -Dact * r1, -Dact * r2
+            frows = jnp.stack([f0, f1, f2], axis=1).reshape(3 * K, -1)
+            qfrc = (jax.lax.dot(smat, f_l,
+                                precision=jax.lax.Precision.HIGHEST)
+                    + jnp.sum(j_ref[...] * frows[:, None, :], axis=0))
+            xm_o[...] = jnp.stack([x, qfrc])
+            jl_o[...] = f_l[None]
+            jc_o[...] = jnp.stack([f0, f1, f2])
+        else:
+            xm_o[...] = jnp.stack([x, msm])
+            jl_o[...] = jar_l[None]
+            jc_o[...] = jnp.stack([N, y1, y2])
     return body
 
 
 @functools.lru_cache(maxsize=32)
 def _block_full_fn(part: _arrow.Part, K: int, SB: int, nlim: int,
                    lim_dof: tuple, lim_sign: tuple, ls_iters: int,
-                   n_iters: int, interpret: bool = False):
+                   n_iters: int, interpret: bool = False,
+                   whole_solve: bool = False):
     nv = part.nv
     nl, dm, nr = len(part.ds), part.dmax, part.nr
     SB3 = 3 * SB
     body = _make_block_full_kernel(part, K, SB, nlim, lim_dof, lim_sign,
-                                   ls_iters, n_iters)
+                                   ls_iters, n_iters,
+                                   whole_solve=whole_solve)
 
     @jax.jit
     def run(Mp_t, J_t, ohb_t, xm_t, jl_t, jc_t, lp_t, cp_t, S_t, ST_t):
@@ -1048,5 +1125,127 @@ def make_newton_block_full_pe(part: _arrow.Part, lim_dof: tuple,
         xm = fro(xm_o)
         return (xm[:, 0], xm[:, 1], fro(jl_o)[:, 0],
                 jnp.swapaxes(fro(jc_o), 1, 2)), (True, True, True, True)
+
+    return f
+
+
+def _ref_solve_full(part, lim_dof, lim_sign, ls_iters, n_iters, Mp,
+                    conJ, ohb, a_free, ws, lim_aref, con_aref,
+                    lim_params, con_params):
+    """Single-env jnp reference for the whole-solve op: warmstart
+    selection + jar/msm init + the full refactor block + final forces
+    and qfrc (same math as physics/solver.solve end-to-end for
+    iterations <= refactor_period)."""
+    from flybody_tpu.physics import solver as _sol
+    actl, Dl = lim_params[0], lim_params[1]
+    mu, fric, actc, Dc = (con_params[0], con_params[1], con_params[2],
+                          con_params[3])
+    dof = np.array(lim_dof, dtype=np.int64)
+    sign = jnp.asarray(np.asarray(lim_sign, np.float32), conJ.dtype)
+
+    def mv(x):
+        return _arrow.matvec_packed(part, Mp, x)
+
+    def jar_of(x):
+        jl = x[dof] * sign - lim_aref
+        jc = jnp.sum(conJ * x[None, None, :], axis=-1) - con_aref
+        return jl, jc
+
+    def cost(x):
+        jl, jc = jar_of(x)
+        c = 0.5 * jnp.dot(x - a_free, mv(x - a_free))
+        c = c + 0.5 * jnp.sum(Dl * actl * (jl < 0) * jl ** 2)
+        res = _sol._cone_residual(jc, mu, fric, actc)
+        c = c + 0.5 * jnp.sum(Dc[:, None] * res ** 2)
+        return c
+
+    x0 = jnp.where(cost(ws) < cost(a_free), ws, a_free)
+    msm0 = mv(x0 - a_free)
+    jl0, jc0 = jar_of(x0)
+    x, _, jar_l, jar_c = _ref_block_full(
+        part, lim_dof, lim_sign, ls_iters, n_iters, Mp, conJ, ohb, x0,
+        msm0, jl0, jc0, lim_params, con_params)
+    f_l = -Dl * jar_l * (actl * (jar_l < 0))
+    res = _sol._cone_residual(jar_c, mu, fric, actc)
+    f_c = -Dc[:, None] * res
+    qfrc = (jnp.zeros_like(x).at[dof].add(f_l * sign)
+            + jnp.sum(conJ * f_c[:, :, None], axis=(0, 1)))
+    return x, qfrc, f_l, f_c
+
+
+@functools.lru_cache(maxsize=32)
+def make_newton_solve_pe(part: _arrow.Part, lim_dof: tuple,
+                         lim_sign: tuple, ls_iters: int,
+                         n_iters: int, interpret: bool = False):
+    """Per-env WHOLE-SOLVE Newton op: warmstart selection, jar/msm
+    initialization, in-kernel Hessian/Woodbury assembly, n_iters Newton
+    iterations, and the final constraint forces + qfrc_constraint -- the
+    entire solver.solve (for iterations <= refactor_period) in ONE
+    pallas launch. Removes every XLA-side pass over the (B, K, 3, nv)
+    Jacobian: the warmstart cost comparison, init_state, and the closing
+    J^T f contraction each re-read ~255 MB from HBM at batch 8192.
+
+    Per-env args: Mp packed, conJ (K, 3, nv), ohb (SB, K), a_free (nv,),
+    warmstart (nv,), lim_aref (L,), con_aref (K, 3), lim_params (2, L)
+    [active | D], con_params (5, K) [mu | fric | active | D |
+    hess_active]. Returns (qacc, qfrc_constraint, f_l, f_c)."""
+    nlim = len(lim_dof)
+
+    @custom_batching.custom_vmap
+    def f(Mp, conJ, ohb, a_free, ws, lim_aref, con_aref, lim_params,
+          con_params):
+        return _ref_solve_full(part, lim_dof, lim_sign, ls_iters,
+                               n_iters, Mp, conJ, ohb, a_free, ws,
+                               lim_aref, con_aref, lim_params,
+                               con_params)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, Mp, conJ, ohb, a_free, ws,
+              lim_aref, con_aref, lim_params, con_params):
+        del axis_size
+        args = (Mp, conJ, ohb, a_free, ws, lim_aref, con_aref,
+                lim_params, con_params)
+        if not all(in_batched) or not (_use_pallas() or interpret):
+            axes = [0 if b else None for b in in_batched]
+            out = jax.vmap(lambda *a: _ref_solve_full(
+                part, lim_dof, lim_sign, ls_iters, n_iters, *a),
+                in_axes=axes)(*args)
+            return out, (True, True, True, True)
+        B = Mp.shape[0]
+        K = conJ.shape[1]
+        SB = ohb.shape[1]
+        pad = (-B) % LANES
+
+        def tol(v):
+            v = jnp.moveaxis(v, 0, -1)
+            if pad:
+                fill = jnp.zeros(v.shape[:-1] + (pad,), v.dtype)
+                v = jnp.concatenate([v, fill], axis=-1)
+            return v
+
+        Mp_t = tol(Mp)
+        if pad:
+            Mp_t = Mp_t.at[..., B:].set(
+                _arrow._identity_packed(part, Mp.dtype))
+        J_t = tol(conJ.reshape(B, 3 * K, -1))
+        ohb_t = tol(ohb)
+        aw_t = tol(jnp.stack([a_free, ws], axis=1))
+        la_t = tol(lim_aref)[None]
+        ca_t = tol(jnp.swapaxes(con_aref, 1, 2))
+        lp_t = tol(lim_params)
+        cp_t = tol(con_params)
+        run = _block_full_fn(part, K, SB, nlim, lim_dof, lim_sign,
+                             ls_iters, n_iters, interpret,
+                             whole_solve=True)
+        S_t, ST_t = _scatter_mats(part.nv, lim_dof, lim_sign, Mp.dtype)
+        xm_o, fl_o, fc_o = run(Mp_t, J_t, ohb_t, aw_t, la_t, ca_t,
+                               lp_t, cp_t, S_t, ST_t)
+
+        def fro(v):
+            return jnp.moveaxis(v[..., :B], -1, 0)
+
+        xm = fro(xm_o)
+        return (xm[:, 0], xm[:, 1], fro(fl_o)[:, 0],
+                jnp.swapaxes(fro(fc_o), 1, 2)), (True, True, True, True)
 
     return f

@@ -760,6 +760,39 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         return (x + alpha * dx, msm + alpha * mdx,
                 jar_l + alpha * jv_l, jar_c + alpha * jv_c)
 
+    import os as _os
+    whole_solve = (
+        aops is not None and packed_m
+        and iterations <= max(1, refactor_period)
+        and _os.environ.get('FLYBODY_NEWTON_FULL', '1').strip().lower()
+        not in ('0', 'false', 'no', 'off'))
+    if whole_solve:
+        # The ENTIRE solve in one pallas launch (warmstart selection,
+        # jar/msm init, in-kernel Hessian/Woodbury assembly, all
+        # iterations, final forces + qfrc) — ops/newton_fused.py
+        # make_newton_solve_pe. Every XLA-side pass over con_J
+        # (~255 MB/pass at batch 8192: 2x warmstart costs, init_state,
+        # final J^T f) disappears. FLYBODY_NEWTON_FULL=0 restores the
+        # split form below for A/B.
+        from flybody_tpu.ops import newton_fused as _nf
+        SB = min(int(_os.environ.get('FLYBODY_SB_BREAK', 8)), K)
+        brk = efc.con_break * efc.con_active
+        score_b = jnp.where(brk > 0, efc.con_pos,
+                            jnp.full_like(efc.con_pos, 1e10))
+        _, bsel = jax.lax.top_k(-score_b, SB)
+        ohb = jax.nn.one_hot(bsel, K, dtype=dtype)  # (SB, K)
+        _lim_dof_t = tuple(int(v) for v in lim_dof_idx)
+        _lim_sign_t = tuple(float(v) for v in lim_sign_st)
+        hess_act = efc.con_active * (1.0 - efc.con_break)
+        lim_params = jnp.stack([efc.lim_active, efc.lim_D])
+        con_params5 = jnp.stack([efc.con_mu, efc.con_frictional,
+                                 efc.con_active, efc.con_D, hess_act])
+        ws = a_free if warmstart is None else warmstart
+        fn = _nf.make_newton_solve_pe(part, _lim_dof_t, _lim_sign_t,
+                                      ls_iterations, iterations)
+        return fn(M, efc.con_J, ohb, a_free, ws, efc.lim_aref,
+                  efc.con_aref, lim_params, con_params5)
+
     x = a_free
     if warmstart is not None:
         c_ws = _primal_cost(efc, mv, a_free, warmstart)

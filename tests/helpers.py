@@ -35,3 +35,31 @@ def quat_sign_align(q, q_ref):
     sign = np.sign(np.sum(q * q_ref, axis=-1, keepdims=True))
     sign = np.where(sign == 0, 1.0, sign)
     return q * sign
+
+
+def arrow_compatible_rows(part, rng: np.random.RandomState, B: int,
+                          K: int, nv: int, scale: float = 0.3,
+                          p_break: float = 0.3):
+    """Random contact-Jacobian rows honoring the arrow-Hessian contract
+    (physics/solver.py): rows that will carry hess_active=1 have support
+    within the root dofs + ONE limb block; cross-limb rows are dense
+    over two limbs and flagged break=1 (the packed Hessian truncates
+    cross-limb blocks, so a dense row with hess_active=1 makes Hp
+    indefinite). Returns (conJ (B,K,3,nv) f32, brk (B,K) f32)."""
+    nlimb = len(part.los)
+    conJ = np.zeros((B, K, 3, nv), np.float32)
+    brk = np.zeros((B, K), np.float32)
+    for b in range(B):
+        for ki in range(K):
+            if rng.rand() < p_break and nlimb >= 2:
+                brk[b, ki] = 1.0
+                for li in rng.choice(nlimb, 2, replace=False):
+                    lo, d = part.los[li], part.ds[li]
+                    conJ[b, ki, :, lo:lo + d] = rng.randn(3, d) * scale
+            else:
+                li = rng.randint(nlimb)
+                lo, d = part.los[li], part.ds[li]
+                conJ[b, ki, :, lo:lo + d] = rng.randn(3, d) * scale
+            if part.nr:
+                conJ[b, ki, :, :part.nr] = rng.randn(3, part.nr) * scale
+    return conJ, brk

@@ -673,7 +673,14 @@ def test_full_newton_block_interpret():
 
     As = np.stack([rand_arrow_spd() for _ in range(B)])
     Mps = jax.vmap(lambda a: arrow.pack_sym_ref(part, a))(jnp.asarray(As))
-    conJ = jnp.asarray(rng.randn(B, K, 3, nv).astype(np.float32) * 0.3)
+    # Hessian-active rows must be arrow-compatible (root + one limb);
+    # cross-limb rows are dense and flagged break (hess_active=0) — the
+    # solver invariant (see tests/test_tpu_kernels.py note; violating it
+    # makes the truncated packed Hessian indefinite and NaNs BOTH the
+    # kernel and the reference, which equal-nan allclose used to hide).
+    from tests.helpers import arrow_compatible_rows
+    conJ_np, brk_np = arrow_compatible_rows(part, rng, B, K, nv)
+    conJ = jnp.asarray(conJ_np)
     # One-hot break-row selection (disjoint rows per env).
     ohb_np = np.zeros((B, SB, K), np.float32)
     for b in range(B):
@@ -688,13 +695,12 @@ def test_full_newton_block_interpret():
         (rng.rand(B, nlim) < 0.5).astype(np.float32),
         rng.rand(B, nlim).astype(np.float32) * 100.0], axis=1))
     actc = (rng.rand(B, K) < 0.8).astype(np.float32)
-    brk = actc * (rng.rand(B, K) < 0.3)
     con_params = jnp.asarray(np.stack([
         0.5 + rng.rand(B, K).astype(np.float32),
         (rng.rand(B, K) < 0.8).astype(np.float32),
         actc,
         rng.rand(B, K).astype(np.float32) * 100.0,
-        actc * (1.0 - brk)], axis=1))
+        actc * (1.0 - brk_np)], axis=1))
 
     args = (Mps, conJ, ohb, x, msm, jar_l, jar_c, lim_params, con_params)
     ref = jax.vmap(lambda *a: newton_fused._ref_block_full(
@@ -704,5 +710,74 @@ def test_full_newton_block_interpret():
     out = jax.vmap(full)(*args)
     for nm, o, r in zip(['x', 'msm', 'jar_l', 'jar_c'], out, ref):
         got, want = np.asarray(o), np.asarray(r)
+        assert np.isfinite(want).all(), f'{nm}: reference not finite'
+        assert np.isfinite(got).all(), f'{nm}: kernel not finite'
+        np.testing.assert_allclose(got, want, rtol=0, atol=3e-3,
+                                   err_msg=nm)
+
+
+def test_whole_solve_newton_interpret():
+    """The WHOLE-SOLVE Newton op (warmstart pick + init + block +
+    final forces/qfrc in one kernel, ops/newton_fused.make_newton_solve_pe)
+    matches the jnp reference composition in interpret mode."""
+    import numpy as np
+    from helpers import arrow_compatible_rows
+    from flybody_tpu.model import compile as fmc
+    from flybody_tpu.ops import arrow, newton_fused
+
+    fly, _ = fmc.build_fly_model()
+    part = arrow.build_partition(fly.meta)
+    rng = np.random.RandomState(3)
+    B, K, SB, nlim = 4, 8, 4, 12
+    nv = part.nv
+    lim_dof = tuple(int(v) for v in rng.choice(nv, nlim, replace=False))
+    lim_sign = tuple(float(s) for s in rng.choice([-1.0, 1.0], nlim))
+
+    def rand_arrow_spd():
+        X = rng.randn(nv, nv).astype(np.float32) * 0.2
+        S = X @ X.T + np.eye(nv, dtype=np.float32) * 3.0
+        mask = np.zeros((nv, nv), np.float32)
+        mask[:part.nr, :] = 1
+        mask[:, :part.nr] = 1
+        for lo, d in zip(part.los, part.ds):
+            mask[lo:lo + d, lo:lo + d] = 1
+        A = S * mask + np.eye(nv, dtype=np.float32) * 3.0
+        return (A + A.T) / 2
+
+    As = np.stack([rand_arrow_spd() for _ in range(B)])
+    Mps = jax.vmap(lambda a: arrow.pack_sym_ref(part, a))(jnp.asarray(As))
+    conJ_np, brk_np = arrow_compatible_rows(part, rng, B, K, nv)
+    conJ = jnp.asarray(conJ_np)
+    ohb_np = np.zeros((B, SB, K), np.float32)
+    for b in range(B):
+        rows = rng.choice(K, SB, replace=False)
+        ohb_np[b, np.arange(SB), rows] = 1.0
+    ohb = jnp.asarray(ohb_np)
+    a_free = jnp.asarray(rng.randn(B, nv).astype(np.float32) * 0.1)
+    ws = jnp.asarray(rng.randn(B, nv).astype(np.float32) * 0.1)
+    lim_aref = jnp.asarray(rng.randn(B, nlim).astype(np.float32) * 0.01)
+    con_aref = jnp.asarray(rng.randn(B, K, 3).astype(np.float32) * 0.01)
+    lim_params = jnp.asarray(np.stack([
+        (rng.rand(B, nlim) < 0.5).astype(np.float32),
+        rng.rand(B, nlim).astype(np.float32) * 100.0], axis=1))
+    actc = (rng.rand(B, K) < 0.8).astype(np.float32)
+    con_params = jnp.asarray(np.stack([
+        0.5 + rng.rand(B, K).astype(np.float32),
+        (rng.rand(B, K) < 0.8).astype(np.float32),
+        actc,
+        rng.rand(B, K).astype(np.float32) * 100.0,
+        actc * (1.0 - brk_np)], axis=1))
+
+    args = (Mps, conJ, ohb, a_free, ws, lim_aref, con_aref,
+            lim_params, con_params)
+    ref = jax.vmap(lambda *a: newton_fused._ref_solve_full(
+        part, lim_dof, lim_sign, 30, 2, *a))(*args)
+    op = newton_fused.make_newton_solve_pe(
+        part, lim_dof, lim_sign, 30, 2, interpret=True)
+    out = jax.vmap(op)(*args)
+    for nm, o, r in zip(['qacc', 'qfrc', 'f_l', 'f_c'], out, ref):
+        got, want = np.asarray(o), np.asarray(r)
+        assert np.isfinite(want).all(), f'{nm}: reference not finite'
+        assert np.isfinite(got).all(), f'{nm}: kernel not finite'
         np.testing.assert_allclose(got, want, rtol=0, atol=3e-3,
                                    err_msg=nm)

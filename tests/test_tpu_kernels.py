@@ -405,7 +405,17 @@ def test_compiled_full_newton_block():
 
     As = np.stack([rand_arrow_spd() for _ in range(B)])
     Mps = jax.vmap(lambda a: arrow.pack_sym_ref(part, a))(jnp.asarray(As))
-    conJ = jnp.asarray(rng.randn(B, K, 3, nv).astype(np.float32) * 0.3)
+    # Contact-row contract (physics/solver.py): rows with
+    # hess_active=1 MUST be arrow-compatible (support within root dofs
+    # + ONE limb block) — the packed Hessian truncates cross-limb
+    # blocks, and truncating a dense random row's PSD contribution
+    # makes Hp indefinite -> Cholesky NaN (that is the real solver's
+    # invariant, not a kernel defect: hess_active = active*(1-break)
+    # excludes exactly the cross-limb rows). Cross-limb rows are
+    # generated dense and flagged break=1.
+    from tests.helpers import arrow_compatible_rows
+    conJ_np, brk_np = arrow_compatible_rows(part, rng, B, K, nv)
+    conJ = jnp.asarray(conJ_np)
     ohb_np = np.zeros((B, SB, K), np.float32)
     for b in range(B):
         rows = rng.choice(K, SB, replace=False)
@@ -422,13 +432,12 @@ def test_compiled_full_newton_block():
         (rng.rand(B, nlim) < 0.5).astype(np.float32),
         rng.rand(B, nlim).astype(np.float32) * 100.0], axis=1))
     actc = (rng.rand(B, K) < 0.8).astype(np.float32)
-    brk = actc * (rng.rand(B, K) < 0.3)
     con_params = jnp.asarray(np.stack([
         0.5 + rng.rand(B, K).astype(np.float32),
         (rng.rand(B, K) < 0.8).astype(np.float32),
         actc,
         rng.rand(B, K).astype(np.float32) * 100.0,
-        actc * (1.0 - brk)], axis=1))
+        actc * (1.0 - brk_np)], axis=1))
 
     args = (Mps, conJ, ohb, x, msm, jar_l, jar_c, lim_params,
             con_params)
@@ -479,3 +488,114 @@ def test_compiled_full_newton_block():
     # Aggregate descent within 5% of the reference composition.
     assert ck.mean() <= cr.mean() + 0.05 * np.abs(c0.mean()), (
         ck.mean(), cr.mean(), c0.mean())
+
+
+def test_compiled_whole_solve_newton():
+    """The WHOLE-SOLVE Newton kernel (warmstart pick + init + assembly
+    + iterations + final forces/qfrc, ops/newton_fused.
+    make_newton_solve_pe) compiled on the real device.
+
+    Chaos-robust invariants (direct iterate comparison is meaningless —
+    see test_compiled_full_newton_block): finiteness, exact consistency
+    qfrc == S f_l + J^T f_c of the emitted outputs, primal-cost descent
+    from BOTH candidate starts, and aggregate cost within 5% of the jnp
+    reference composition."""
+    from tests.helpers import arrow_compatible_rows
+    from flybody_tpu.model import compile as fmc
+    from flybody_tpu.ops import arrow, newton_fused
+
+    fly, _ = fmc.build_fly_model()
+    part = arrow.build_partition(fly.meta)
+    rng = np.random.RandomState(13)
+    B, K, SB, nlim = 256, 24, 8, 204
+    nv = part.nv
+    lim_dof = tuple(int(v) for v in rng.choice(nv, nlim, replace=True))
+    lim_sign = tuple(float(s) for s in rng.choice([-1.0, 1.0], nlim))
+
+    def rand_arrow_spd():
+        X = rng.randn(nv, nv).astype(np.float32) * 0.2
+        S = X @ X.T + np.eye(nv, dtype=np.float32) * 3.0
+        mask = np.zeros((nv, nv), np.float32)
+        mask[:part.nr, :] = 1
+        mask[:, :part.nr] = 1
+        for lo, d in zip(part.los, part.ds):
+            mask[lo:lo + d, lo:lo + d] = 1
+        A = S * mask + np.eye(nv, dtype=np.float32) * 3.0
+        return (A + A.T) / 2
+
+    As = np.stack([rand_arrow_spd() for _ in range(B)])
+    Mps = jax.vmap(lambda a: arrow.pack_sym_ref(part, a))(jnp.asarray(As))
+    conJ_np, brk_np = arrow_compatible_rows(part, rng, B, K, nv)
+    conJ = jnp.asarray(conJ_np)
+    ohb_np = np.zeros((B, SB, K), np.float32)
+    for b in range(B):
+        rows = rng.choice(K, SB, replace=False)
+        ohb_np[b, np.arange(SB), rows] = 1.0
+    ohb = jnp.asarray(ohb_np)
+    a_free = jnp.asarray(rng.randn(B, nv).astype(np.float32) * 0.1)
+    ws = jnp.asarray(rng.randn(B, nv).astype(np.float32) * 0.1)
+    lim_aref = jnp.asarray(rng.randn(B, nlim).astype(np.float32) * 0.01)
+    con_aref = jnp.asarray(rng.randn(B, K, 3).astype(np.float32) * 0.01)
+    lim_params = jnp.asarray(np.stack([
+        (rng.rand(B, nlim) < 0.5).astype(np.float32),
+        rng.rand(B, nlim).astype(np.float32) * 100.0], axis=1))
+    actc = (rng.rand(B, K) < 0.8).astype(np.float32)
+    con_params = jnp.asarray(np.stack([
+        0.5 + rng.rand(B, K).astype(np.float32),
+        (rng.rand(B, K) < 0.8).astype(np.float32),
+        actc,
+        rng.rand(B, K).astype(np.float32) * 100.0,
+        actc * (1.0 - brk_np)], axis=1))
+
+    args = (Mps, conJ, ohb, a_free, ws, lim_aref, con_aref,
+            lim_params, con_params)
+    op = newton_fused.make_newton_solve_pe(part, lim_dof, lim_sign,
+                                           12, 3)
+    qacc, qfrc, f_l, f_c = jax.jit(jax.vmap(op))(*args)
+    qacc, qfrc = np.asarray(qacc), np.asarray(qfrc)
+    f_l, f_c = np.asarray(f_l), np.asarray(f_c)
+    for nm, v in (('qacc', qacc), ('qfrc', qfrc), ('f_l', f_l),
+                  ('f_c', f_c)):
+        assert np.isfinite(v).all(), nm
+
+    # Output self-consistency: qfrc must equal S f_l + J^T f_c of the
+    # emitted forces (catches any Mosaic garbage in the epilogue).
+    dof = np.array(lim_dof)
+    sign = np.asarray(lim_sign, np.float32)
+    qfrc_pred = jnp.asarray(
+        np.zeros((B, nv), np.float32))
+    qfrc_pred = jax.vmap(
+        lambda fl, fc, cj: jnp.zeros(nv, jnp.float32)
+        .at[dof].add(fl * sign)
+        + jnp.sum(cj * fc[:, :, None], axis=(0, 1)))(
+            jnp.asarray(f_l), jnp.asarray(f_c), conJ)
+    np.testing.assert_allclose(
+        qfrc, np.asarray(qfrc_pred),
+        atol=5e-3 + 1e-3 * np.abs(np.asarray(qfrc_pred)).max())
+
+    # Primal-cost descent from both candidate starts.
+    from flybody_tpu.physics import solver as _sol
+
+    def cost(xv):
+        mu, fric, act, D = (con_params[:, 0], con_params[:, 1],
+                            con_params[:, 2], con_params[:, 3])
+        actl, Dl = lim_params[:, 0], lim_params[:, 1]
+        dxv = xv - a_free
+        msv = jax.vmap(
+            lambda m, d: arrow.matvec_packed(part, m, d))(Mps, dxv)
+        smooth = 0.5 * jnp.sum(dxv * msv, axis=-1)
+        jl = (xv[:, dof] * sign[None] - lim_aref)
+        cl = 0.5 * jnp.sum(Dl * actl * (jl < 0) * jl ** 2, axis=-1)
+        jc = jnp.einsum('bkiv,bv->bki', conJ, xv) - con_aref
+        res = jax.vmap(_sol._cone_residual)(jc, mu, fric, act)
+        cc = 0.5 * jnp.sum(D[:, :, None] * res ** 2, axis=(-2, -1))
+        return smooth + cl + cc
+
+    c_start = np.minimum(np.asarray(cost(ws)), np.asarray(cost(a_free)))
+    ck = np.asarray(cost(jnp.asarray(qacc)))
+    assert (ck <= c_start + 1e-3).all(), 'whole solve must descend'
+    ref = jax.jit(jax.vmap(lambda *a: newton_fused._ref_solve_full(
+        part, lim_dof, lim_sign, 12, 3, *a)))(*args)
+    cr = np.asarray(cost(ref[0]))
+    assert ck.mean() <= cr.mean() + 0.05 * np.abs(c_start.mean()), (
+        ck.mean(), cr.mean(), c_start.mean())
