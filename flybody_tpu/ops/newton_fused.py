@@ -44,6 +44,15 @@ def _use_pallas():
     return pallas_enabled('newton')
 
 
+def _newton_lanes():
+    """Lane-block width for the full/whole-solve Newton kernels. The
+    kernel is per-op overhead bound (round-5 measurement: ~230us per
+    128-lane grid step vs ~30us of FLOPs), so wider blocks amortize the
+    fixed per-op cost; bounded by VMEM (scratch scales linearly)."""
+    import os
+    return int(os.environ.get('FLYBODY_NEWTON_LANES', '128'))
+
+
 def _cone_residual_planes(N, y1, y2, mu, fric):
     """Elliptic-cone residual on (K, lanes) component planes (same math
     as solver._cone_residual / linesearch.search_planes zone selects)."""
@@ -66,6 +75,37 @@ def _cone_residual_planes(N, y1, y2, mu, fric):
     r1 = jnp.where(fric_pos, r1, 0.0)
     r2 = jnp.where(fric_pos, r2, 0.0)
     return r0, r1, r2
+
+
+def _width_groups(los, ds):
+    """Limb groups of equal width d for vectorized packed-JTJH assembly.
+
+    Returns (scratch_order, groups): scratch_order[p] is the original
+    limb index stored at grouped-scratch row p (limbs sorted by width,
+    ties by index), and each group is (s0, d, runs) where runs =
+    [(li0, p0, n)] are maximal runs of CONSECUTIVE original limb
+    indices — scratch rows p0..p0+n hold limbs li0..li0+n — so the
+    hp writes stay range-sliced (the Mosaic rule)."""
+    nl = len(ds)
+    order = sorted(range(nl), key=lambda li: (ds[li], li))
+    groups = []
+    i = 0
+    while i < nl:
+        j = i
+        while j < nl and ds[order[j]] == ds[order[i]]:
+            j += 1
+        idxs = order[i:j]
+        runs = []
+        k = 0
+        while k < len(idxs):
+            m = k
+            while m + 1 < len(idxs) and idxs[m + 1] == idxs[m] + 1:
+                m += 1
+            runs.append((idxs[k], i + k, m - k + 1))
+            k = m + 1
+        groups.append((i, ds[order[i]], runs))
+        i = j
+    return tuple(order), tuple(groups)
 
 
 def _tri_inv_lower(lc, SB3, dtype):
@@ -728,6 +768,7 @@ def _make_block_full_kernel(part: _arrow.Part, K: int, SB: int,
     nv = part.nv
     nl, dm, nr = len(part.ds), part.dmax, part.nr
     los, ds = part.los, part.ds
+    scratch_order, groups = _width_groups(los, ds)
     SB3 = 3 * SB
     fbody = _arrow._make_factor_body(part, packed=True)
     solveZ = _arrow._make_solve_body(part, SB3)
@@ -736,7 +777,8 @@ def _make_block_full_kernel(part: _arrow.Part, K: int, SB: int,
     def body(mp_ref, j_ref, ohb_ref, xm_ref, jl_ref, jc_ref, lp_ref,
              cp_ref, s_ref, st_ref, xm_o, jl_o, jc_o,
              jh_scr, hp_scr, u2_scr, dw, bw, f_scr, z_scr, ylz, clz,
-             g_scr, t_scr, yl1, cl1, lc_scr, m_scr):
+             g_scr, t_scr, yl1, cl1, lc_scr, m_scr, jg_scr, jhg_scr,
+             hdg_scr):
         dtype = mp_ref.dtype
         actl, Dl = lp_ref[0], lp_ref[1]
         mu, fric, actc, Dc, hact = (cp_ref[0], cp_ref[1], cp_ref[2],
@@ -829,31 +871,61 @@ def _make_block_full_kernel(part: _arrow.Part, K: int, SB: int,
         # integer indexing of NON-leading ref dims and 1-D (lanes-only)
         # ref reads/writes silently corrupt on Mosaic (observed
         # 2026-08-19: finite-but-wrong hp, then NaN at the factor).
+        #
+        # Grouped packed-JTJH assembly (round 5): limbs with equal
+        # width d are contracted SIMULTANEOUSLY from width-grouped
+        # scratch copies of J / JH — sum(distinct widths) + nr (~35 for
+        # the fly partition) sequential VPU ops instead of the per-dof
+        # sum(ds) + nr (~108) chain, with zero padding waste (groups
+        # are exact-width). The per-dof form was the round-4 regression
+        # that gave back the whole-solve kernel's bench win.
         hp_scr[...] = mp_ref[...]
+        jh_all = jh_scr[...]
+        for p_row, li in enumerate(scratch_order):
+            lo, d = los[li], ds[li]
+            jg_scr[:, p_row:p_row + 1, 0:d, :] = jnp.expand_dims(
+                j_ref[:, lo:lo + d, :], 1)
+            jhg_scr[:, p_row:p_row + 1, 0:d, :] = jnp.expand_dims(
+                jh_all[:, lo:lo + d, :], 1)
+        hdg_scr[...] = jnp.zeros((nl + 1, dm, hd_dof.shape[-1]), dtype)
         for li, (lo, d) in enumerate(zip(los, ds)):
+            hdg_scr[li:li + 1, 0:d, :] = jnp.expand_dims(
+                hd_dof[lo:lo + d, :], 0)
+        if nr:
+            hdg_scr[nl:nl + 1, 0:nr, :] = jnp.expand_dims(
+                hd_dof[0:nr, :], 0)
+            jhR = jnp.expand_dims(jh_all[:, 0:nr, :], 1)  # (3K,1,nr,L)
+        for s0, d, runs in groups:
+            n = sum(r[2] for r in runs)
+            jhg = jhg_scr[:, s0:s0 + n, 0:d, :]  # (3K, n, d, L)
             for b in range(d):
-                jcol = j_ref[:, lo + b:lo + b + 1, :]  # (3K, 1, L)
-                acc = jnp.sum(jh_scr[:, lo:lo + d, :] * jcol,
-                              axis=0)[:, None, :]  # (d, 1, L)
-                hp_scr[li, 0:d, b:b + 1, :] = (
-                    hp_scr[li, 0:d, b:b + 1, :] + acc)
+                jcol = jg_scr[:, s0:s0 + n, b:b + 1, :]  # (3K,n,1,L)
+                acc = jnp.sum(jhg * jcol, axis=0)  # (n, d, L)
                 if nr:
-                    accB = jnp.sum(jh_scr[:, 0:nr, :] * jcol,
-                                   axis=0)[:, None, :]
-                    hp_scr[li, dm:dm + nr, b:b + 1, :] = (
-                        hp_scr[li, dm:dm + nr, b:b + 1, :] + accB)
-                hp_scr[li, b:b + 1, b:b + 1, :] = (
-                    hp_scr[li, b:b + 1, b:b + 1, :]
-                    + hd_dof[lo + b:lo + b + 1, :][:, None, :])
+                    accB = jnp.sum(jhR * jcol, axis=0)  # (n, nr, L)
+                for li0, p0, rl in runs:
+                    o = p0 - s0
+                    hp_scr[li0:li0 + rl, 0:d, b:b + 1, :] = (
+                        hp_scr[li0:li0 + rl, 0:d, b:b + 1, :]
+                        + jnp.expand_dims(acc[o:o + rl], 2))
+                    if nr:
+                        hp_scr[li0:li0 + rl, dm:dm + nr,
+                               b:b + 1, :] = (
+                            hp_scr[li0:li0 + rl, dm:dm + nr, b:b + 1, :]
+                            + jnp.expand_dims(accB[o:o + rl], 2))
         for b in range(nr):
             jcol = j_ref[:, b:b + 1, :]
-            accR = jnp.sum(jh_scr[:, 0:nr, :] * jcol,
+            accR = jnp.sum(jh_all[:, 0:nr, :] * jcol,
                            axis=0)[:, None, :]
             hp_scr[nl, 0:nr, b:b + 1, :] = (
                 hp_scr[nl, 0:nr, b:b + 1, :] + accR)
-            hp_scr[nl, b:b + 1, b:b + 1, :] = (
-                hp_scr[nl, b:b + 1, b:b + 1, :]
-                + hd_dof[b:b + 1, :][:, None, :])
+        # Limit diagonal for ALL blocks at once per dof column (hdg
+        # rows are zero past each limb's width, so over-wide adds are
+        # no-ops; the root block rides row nl).
+        for b in range(dm):
+            hp_scr[:, b:b + 1, b:b + 1, :] = (
+                hp_scr[:, b:b + 1, b:b + 1, :]
+                + jnp.expand_dims(hdg_scr[:, b:b + 1, :], 2))
 
         # --- Woodbury operands from the selected breaking rows.
         ohb = ohb_ref[...]  # (SB, K, L)
@@ -966,10 +1038,13 @@ def _make_block_full_kernel(part: _arrow.Part, K: int, SB: int,
 def _block_full_fn(part: _arrow.Part, K: int, SB: int, nlim: int,
                    lim_dof: tuple, lim_sign: tuple, ls_iters: int,
                    n_iters: int, interpret: bool = False,
-                   whole_solve: bool = False):
+                   whole_solve: bool = False, lanes: int = LANES):
     nv = part.nv
     nl, dm, nr = len(part.ds), part.dmax, part.nr
     SB3 = 3 * SB
+    LANES = lanes  # noqa: N806 — this kernel is per-op overhead bound
+    # (measured 230us/grid-step vs ~30us of FLOPs, round 5); wider lane
+    # blocks amortize the fixed per-op cost across more envs.
     body = _make_block_full_kernel(part, K, SB, nlim, lim_dof, lim_sign,
                                    ls_iters, n_iters,
                                    whole_solve=whole_solve)
@@ -1018,7 +1093,10 @@ def _block_full_fn(part: _arrow.Part, K: int, SB: int, nlim: int,
                 pltpu.VMEM((nl, 1, dm, LANES), jnp.float32),      # yl1
                 pltpu.VMEM((nl, 1, dm, LANES), jnp.float32),      # cl1
                 pltpu.VMEM((SB3, SB3, LANES), jnp.float32),       # lc
-                pltpu.VMEM((1, nv, LANES), jnp.float32)],         # m
+                pltpu.VMEM((1, nv, LANES), jnp.float32),          # m
+                pltpu.VMEM((3 * K, nl, dm, LANES), jnp.float32),  # jg
+                pltpu.VMEM((3 * K, nl, dm, LANES), jnp.float32),  # jhg
+                pltpu.VMEM((nl + 1, dm, LANES), jnp.float32)],    # hdg
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024),
             interpret=interpret,
@@ -1093,7 +1171,8 @@ def make_newton_block_full_pe(part: _arrow.Part, lim_dof: tuple,
         B = Mp.shape[0]
         K = conJ.shape[1]
         SB = ohb.shape[1]
-        pad = (-B) % LANES
+        lanes = _newton_lanes()
+        pad = (-B) % lanes
 
         def tol(v):
             v = jnp.moveaxis(v, 0, -1)
@@ -1114,7 +1193,8 @@ def make_newton_block_full_pe(part: _arrow.Part, lim_dof: tuple,
         lp_t = tol(lim_params)
         cp_t = tol(con_params)
         run = _block_full_fn(part, K, SB, nlim, lim_dof, lim_sign,
-                             ls_iters, n_iters, interpret)
+                             ls_iters, n_iters, interpret,
+                             lanes=lanes)
         S_t, ST_t = _scatter_mats(part.nv, lim_dof, lim_sign, Mp.dtype)
         xm_o, jl_o, jc_o = run(Mp_t, J_t, ohb_t, xm_t, jl_t, jc_t,
                                lp_t, cp_t, S_t, ST_t)
@@ -1214,7 +1294,8 @@ def make_newton_solve_pe(part: _arrow.Part, lim_dof: tuple,
         B = Mp.shape[0]
         K = conJ.shape[1]
         SB = ohb.shape[1]
-        pad = (-B) % LANES
+        lanes = _newton_lanes()
+        pad = (-B) % lanes
 
         def tol(v):
             v = jnp.moveaxis(v, 0, -1)
@@ -1236,7 +1317,7 @@ def make_newton_solve_pe(part: _arrow.Part, lim_dof: tuple,
         cp_t = tol(con_params)
         run = _block_full_fn(part, K, SB, nlim, lim_dof, lim_sign,
                              ls_iters, n_iters, interpret,
-                             whole_solve=True)
+                             whole_solve=True, lanes=lanes)
         S_t, ST_t = _scatter_mats(part.nv, lim_dof, lim_sign, Mp.dtype)
         xm_o, fl_o, fc_o = run(Mp_t, J_t, ohb_t, aw_t, la_t, ca_t,
                                lp_t, cp_t, S_t, ST_t)

@@ -764,7 +764,7 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
     whole_solve = (
         aops is not None and packed_m
         and iterations <= max(1, refactor_period)
-        and _os.environ.get('FLYBODY_NEWTON_FULL', '1').strip().lower()
+        and _os.environ.get('FLYBODY_NEWTON_WHOLE', '1').strip().lower()
         not in ('0', 'false', 'no', 'off'))
     if whole_solve:
         # The ENTIRE solve in one pallas launch (warmstart selection,
@@ -772,7 +772,7 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
         # iterations, final forces + qfrc) — ops/newton_fused.py
         # make_newton_solve_pe. Every XLA-side pass over con_J
         # (~255 MB/pass at batch 8192: 2x warmstart costs, init_state,
-        # final J^T f) disappears. FLYBODY_NEWTON_FULL=0 restores the
+        # final J^T f) disappears. FLYBODY_NEWTON_WHOLE=0 restores the
         # split form below for A/B.
         from flybody_tpu.ops import newton_fused as _nf
         SB = min(int(_os.environ.get('FLYBODY_SB_BREAK', 8)), K)
@@ -868,20 +868,21 @@ def solve(model: FlyModel, data: Data, efc: EfcRows, a_free: jax.Array,
                   jar_c, lim_params, con_params)
 
     def newton_block(st, n):
-        """A whole refactor block in ONE kernel launch. Default (FULL)
-        form: Hessian assembly (cone-Hessian-weighted packed JTJH +
-        limit diagonal) AND the Woodbury operands are built in-kernel
-        from J/jar/params planes (make_newton_block_full_pe) — the XLA
-        per-env JTJH GEMMs and one-hot gathers are batched tiny matmuls
-        that serialize on the MXU (~12 ms/substep measured 2026-08-19).
-        FLYBODY_NEWTON_FULL=0 restores the split form (XLA assembly +
-        make_newton_block_pe) for A/B. Packed-M path only."""
+        """A whole refactor block in ONE kernel launch. FULL form
+        (FLYBODY_NEWTON_BLOCK_FULL=1): Hessian assembly (cone-Hessian-
+        weighted packed JTJH + limit diagonal) AND the Woodbury operands
+        are built in-kernel from J/jar/params planes
+        (make_newton_block_full_pe) — the XLA per-env JTJH GEMMs and
+        one-hot gathers are batched tiny matmuls that serialize on the
+        MXU. Default (=0) is the split form (XLA assembly +
+        make_newton_block_pe). Packed-M path only. (The round-4 'Mosaic
+        mismatch' note that used to gate this was disproven — it was a
+        test-input bug, see PROGRESS round-4 session 2; the default here
+        is set by the round-5 A/B ledger entry in PROGRESS.md.)"""
         import os as _os
         x, msm, jar_l, jar_c = st
-        # Default OFF: the compiled (Mosaic) form of the full kernel
-        # mismatches its reference on the real chip (2026-08-19, under
-        # bisection); interpret mode passes. Opt in with =1 once fixed.
-        if _os.environ.get('FLYBODY_NEWTON_FULL', '0').strip().lower() \
+        if _os.environ.get('FLYBODY_NEWTON_BLOCK_FULL',
+                           '0').strip().lower() \
                 not in ('0', 'false', 'no', 'off'):
             con_params5 = jnp.concatenate(
                 [con_params, hess_active[None]], axis=0)

@@ -452,19 +452,28 @@ def test_compiled_full_newton_block():
 
     # Internal consistency: the carried state must equal the linear
     # maps of the accepted total step (catches any Mosaic garbage).
-    dx = jnp.asarray(xo) - x
-    jl_pred = jar_l + jnp.einsum(
-        'bv,lv->bl', dx,
-        jnp.asarray(np.eye(nv, dtype=np.float32)[list(lim_dof)]
-                    * np.asarray(lim_sign, np.float32)[:, None]))
-    jc_pred = jar_c + jnp.einsum('bkiv,bv->bki', conJ, dx)
-    msm_pred = msm + jax.vmap(
-        lambda m, d: arrow.matvec_packed(part, m, d))(Mps, dx)
-    np.testing.assert_allclose(jlo, np.asarray(jl_pred), atol=5e-3)
-    np.testing.assert_allclose(jco, np.asarray(jc_pred), atol=5e-3)
-    np.testing.assert_allclose(
-        msmo, np.asarray(msm_pred),
-        atol=5e-3 + 1e-3 * np.abs(np.asarray(msm_pred)).max())
+    # Predictions are computed on HOST in f64 — a device einsum /
+    # matvec_packed reference runs at MXU default (bf16) precision on
+    # TPU and its ~1e-2 error dwarfs the kernel's f32 accumulation
+    # (this exact contamination made the round-4 form of this test
+    # flake at 0.0139 vs atol 0.0105 on one element). Tolerances below
+    # are set by the kernel's own regime: f32 mul+VPU-sum matvecs
+    # accumulated over 3 iterations (~1e-5 relative); 1e-3 absolute
+    # leaves 100x headroom while still failing instantly on off-target
+    # Mosaic writes (which corrupt at O(1)).
+    dx64 = (xo - np.asarray(x)).astype(np.float64)
+    smat64 = (np.eye(nv)[list(lim_dof)]
+              * np.asarray(lim_sign, np.float64)[:, None])
+    jl_pred = np.asarray(jar_l, np.float64) + dx64 @ smat64.T
+    jc_pred = (np.asarray(jar_c, np.float64)
+               + np.einsum('bkiv,bv->bki',
+                           np.asarray(conJ, np.float64), dx64))
+    msm_pred = (np.asarray(msm, np.float64)
+                + np.einsum('bvw,bw->bv', As.astype(np.float64), dx64))
+    scale = float(np.abs(msm_pred).max())
+    np.testing.assert_allclose(jlo, jl_pred, atol=1e-3)
+    np.testing.assert_allclose(jco, jc_pred, atol=1e-3)
+    np.testing.assert_allclose(msmo, msm_pred, atol=1e-3 * max(1.0, scale))
 
     # Primal-cost descent comparable to the reference composition.
     def cost(xv, msv, jl, jc):
