@@ -38,6 +38,13 @@ def main():
     # measured (13,217 -> 16,563 at batch 8192). Overridable for A/B.
     os.environ.setdefault('FLYBODY_MPR_TOP_P', '32')
     os.environ.setdefault('FLYBODY_CC_TOP_P', '16')
+    # Woodbury cross-limb budget: active cross-limb (leg-leg) contact
+    # rows are rare in the walking scene and the whole-solve Newton
+    # kernel's Z-solve/capacitance work scales with 3*SB. 8 -> 4
+    # measured 21.5 -> 16.1 ms isolated solve (round 5,
+    # tools/profile_newton.py); accuracy gated by
+    # tests/test_solver_knobs.py::test_sb_break_solver_accuracy.
+    os.environ.setdefault('FLYBODY_SB_BREAK', '4')
 
     from flybody_tpu.envs import fly_envs
 

@@ -175,6 +175,9 @@ def main(argv=None):
             _col.MPR_MERGED_TOP_P = 32
         if 'FLYBODY_CC_TOP_P' not in os.environ:
             _col.CC_TOP_P = 16
+        # Match bench.py's Woodbury budget (gated by
+        # test_sb_break_solver_accuracy; round-5 ledger).
+        os.environ.setdefault('FLYBODY_SB_BREAK', '4')
     env = cast_env_f32(make_env(args.task, **env_kwargs))
 
     two_level = args.ll_snapshot and args.task.startswith('vision')
