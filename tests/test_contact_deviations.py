@@ -74,11 +74,26 @@ def _family(m, g1, g2):
     return f'{TYPE_NAMES.get(a, a)}-{TYPE_NAMES.get(b, b)}'
 
 
+def _mj_total_cost(m, d, qacc):
+    """Gauss + constraint cost of a candidate qacc under MuJoCo's own
+    primal model (mj_constraintUpdate), for the flat-optimum check."""
+    jar = np.zeros(d.nefc)
+    mujoco.mj_mulJacVec(m, d, jar, qacc)
+    jar -= d.efc_aref
+    cost = np.zeros(1)
+    mujoco.mj_constraintUpdate(m, d, jar, cost, 0)
+    dx = qacc - d.qacc_smooth
+    Mdx = np.zeros(m.nv)
+    mujoco.mj_mulM(m, d, Mdx, dx)
+    return 0.5 * float(dx @ Mdx) + float(cost[0])
+
+
 def test_contact_force_deviation_by_family(models):
     fly, m = models
     tb = collision.pair_tables(fly.meta)
     report = {}
     qacc_errs = []
+    cost_gaps = []
     for si, (qpos, qvel, ctrl, act) in enumerate(_mj_states(m)):
         d = mujoco.MjData(m)
         d.qpos[:], d.qvel[:], d.ctrl[:] = qpos, qvel, ctrl
@@ -131,6 +146,29 @@ def test_contact_force_deviation_by_family(models):
         qacc_errs.append(
             float(np.abs(np.asarray(qacc) - d.qacc).max() / scale))
 
+        # Flat-optimum cross-evaluation (round 5): score each engine's
+        # converged qacc under BOTH engines' primal cost models. If each
+        # solution is near-optimal under the other's model, the per-state
+        # force/qacc deviations are optimum non-uniqueness along
+        # near-null directions, not a physics or solver error. Measured
+        # (2026-08-20): rel gaps 5.6e-6 / 2.7e-5 / 1.3e-3 on the three
+        # states while qacc rel err reads 0.10 / 0.31 / 3.81 and the
+        # labrum-labrum ellipsoid contact force differs by up to 20%
+        # with IDENTICAL geometry (same pos/dist, normals within 0.5
+        # degrees) -- the deviation table's ellipsoid rows are flat-
+        # optimum ambiguity, not manifold-structure error.
+        def mv(x, _d=data):
+            return solver._mv(_d.qM, x)
+        c_ours = float(solver._primal_cost(efc, mv, a_free,
+                                           jnp.asarray(qacc)))
+        c_mj_under_ours = float(solver._primal_cost(efc, mv, a_free,
+                                                    jnp.asarray(d.qacc)))
+        c_mj = _mj_total_cost(m, d, d.qacc)
+        c_ours_under_mj = _mj_total_cost(m, d, np.asarray(qacc))
+        cscale = max(abs(c_mj), abs(c_ours), 1e-12)
+        cost_gaps.append(((c_mj_under_ours - c_ours) / cscale,
+                          (c_ours_under_mj - c_mj) / cscale))
+
         for fam in sorted(set(mj) | set(ours)):
             cm, fm = mj.get(fam, [0, 0.0])
             co, fo = ours.get(fam, [0, 0.0])
@@ -148,6 +186,8 @@ def test_contact_force_deviation_by_family(models):
               f' {rel:>10.3f}')
     print('qacc rel errs per state:',
           [f'{e:.4f}' for e in qacc_errs])
+    print('flat-optimum rel cost gaps (mj-under-ours, ours-under-mj):',
+          [(f'{a:+.2e}', f'{b:+.2e}') for a, b in cost_gaps])
 
     # Every family MuJoCo sees, we see (no silently missing pair type).
     mj_fams = {f for f, r in report.items() if r[0] > 0}
@@ -169,3 +209,12 @@ def test_contact_force_deviation_by_family(models):
     # per-family force totals above are the meaningful bound there).
     # The random-pose errors are still printed above for the record.
     assert qacc_errs[0] < 0.15, qacc_errs
+    # Flat-optimum gate: our converged qacc must be within 0.5% of
+    # MuJoCo's own optimum under MuJoCo's cost model on EVERY state
+    # (including the flail poses where raw qacc/force deviations are
+    # large), and MuJoCo's qacc must be no more than 0.5% better than
+    # ours under our model. This pins the deviation table's convex-
+    # family force gaps to optimum non-uniqueness.
+    for a, b in cost_gaps:
+        assert a > -5e-3, cost_gaps  # mj not meaningfully better under ours
+        assert b < 5e-3, cost_gaps   # ours near-optimal under mj's model
