@@ -81,5 +81,6 @@ def save_policy_snapshot(directory: str, name: str, policy_params) -> str:
 
 
 def load_policy_snapshot(path: str, params_like):
+    # orbax requires absolute paths (tensorstore kvstore spec).
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target=params_like)
+    return ckptr.restore(os.path.abspath(path), target=params_like)
