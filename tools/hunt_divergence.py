@@ -53,8 +53,11 @@ def roll(args):
     # module-level, so run the two arms in separate invocations via
     # --arm when widths must differ. Default: widths set to bench
     # values for both (the knob under test is the solver set).
-    env = _make_env(BENCH if args.arm == 'bench' else ACCURATE,
-                    bench_widths=(args.arm == 'bench'))
+    cfgs = {'accurate': ACCURATE, 'bench': BENCH,
+            'bench_iters10': {**BENCH, 'solver_iterations': 10,
+                              'ls_iterations': 8}}
+    env = _make_env(cfgs[args.arm],
+                    bench_widths=args.arm.startswith('bench'))
     B, N = args.batch, args.steps
     rng = jax.random.PRNGKey(args.seed)
     keys = jax.random.split(rng, B)
@@ -244,7 +247,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--roll', action='store_true')
     p.add_argument('--analyze', default=None)
-    p.add_argument('--arm', choices=('accurate', 'bench'),
+    p.add_argument('--arm',
+                   choices=('accurate', 'bench', 'bench_iters10'),
                    default='bench')
     p.add_argument('--batch', type=int, default=64)
     p.add_argument('--steps', type=int, default=300)
