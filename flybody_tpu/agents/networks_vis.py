@@ -186,6 +186,17 @@ class TwoLevelController(nn.Module):
     task_input_dim: int = 2
     vis_output_dim: int = 8
     hl_layer_sizes: Sequence[int] = (256, 256, 128)
+    # Steering commands are tanh-BOUNDED to the envelope the frozen LL
+    # actually saw in its reference data (round-5 measured on the
+    # diverse flight store: |future displacement| <= 0.025 cm,
+    # |quat - identity| <= 0.002; bounds give 2x / 5x headroom). An
+    # unbounded HL output drifts under MPO exploration to O(0.1-1) —
+    # 4-50x outside the LL's observation distribution — where the
+    # frozen LL's state-dependent stddev explodes (measured
+    # pi_stddev_max 0.63 -> 1.96) and HL training lands far below the
+    # no-op baseline (rounds 4-5 eval tables in PROGRESS.md).
+    steering_disp_scale: float = 0.05
+    steering_quat_scale: float = 0.01
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -200,8 +211,11 @@ class TwoLevelController(nn.Module):
         h = jnp.tanh(nn.LayerNorm()(h))
         for size in self.hl_layer_sizes[1:]:
             h = nn.elu(nn.Dense(size, kernel_init=init)(h))
-        steering = nn.Dense(self.steering_command_dim,
-                            kernel_init=init)(h) + ballpark
+        raw = nn.Dense(self.steering_command_dim, kernel_init=init)(h)
+        ds, qs = self.steering_disp_scale, self.steering_quat_scale
+        scale = jnp.asarray(n_repeats * 3 * [ds] + n_repeats * 4 * [qs],
+                            x.dtype)
+        steering = scale * jnp.tanh(raw / scale) + ballpark
 
         offset = self.task_input_dim + self.vis_output_dim
         rest = x[..., offset:]
