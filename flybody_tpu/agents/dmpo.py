@@ -50,6 +50,10 @@ class DMPOConfig:
     min_replay_size: int = 10_000
     max_replay_size: int = 4_000_000
     samples_per_insert: float = 15.0
+    # Controller reuse: the policy's stddev comes from a frozen LL head,
+    # making the stddev-KL constraint unsatisfiable (see mpo.mpo_loss
+    # train_stddev docstring). run.py sets this False for two-level runs.
+    train_stddev: bool = True
 
 
 class DMPOState(NamedTuple):
@@ -172,7 +176,8 @@ class DMPOLearner:
                 epsilon=cfg.epsilon, epsilon_mean=cfg.epsilon_mean,
                 epsilon_stddev=cfg.epsilon_stddev,
                 epsilon_penalty=cfg.epsilon_penalty,
-                penalization_cost=self.penalization_cost)
+                penalization_cost=self.penalization_cost,
+                train_stddev=cfg.train_stddev)
             stats['critic_loss'] = critic_loss
             stats['policy_loss'] = policy_loss
             return critic_loss + policy_loss, stats

@@ -88,12 +88,21 @@ def mpo_loss(params: MPOParams,
              epsilon_stddev: float = 1e-7,
              epsilon_penalty: float = 0.1,
              action_penalization: bool = True,
-             penalization_cost=None):
+             penalization_cost=None,
+             train_stddev: bool = True):
     """Decoupled MPO loss (reference losses_mpo.py:175-368).
 
     Defaults follow the reference DMPO setup
     (network_factory.policy_loss_module_dmpo, reference
     network_factory.py:140-163).
+
+    train_stddev=False drops the stddev arm of the decomposed M-step
+    (loss_policy_stddev, the stddev KL penalty, and its alpha dual).
+    Use for controller-reuse training where the policy's stddev comes
+    from a FROZEN low-level head: the stddev-KL constraint is then
+    unsatisfiable, its dual grows without bound (measured
+    alpha_stddev 1000 -> 2500+ in the round-5 HL runs), and the
+    resulting KL penalty term drowns the reward-seeking mean loss.
     """
     dtype = q_values.dtype
     temperature = jax.nn.softplus(params.log_temperature)[0] \
@@ -133,6 +142,12 @@ def mpo_loss(params: MPOParams,
         kl_mean, alpha_mean, jnp.asarray(epsilon_mean, dtype))
     loss_kl_stddev, loss_alpha_stddev = _kl_penalty_and_dual_loss(
         kl_stddev, alpha_stddev, jnp.asarray(epsilon_stddev, dtype))
+
+    if not train_stddev:
+        zero = jnp.zeros((), dtype)
+        loss_policy_stddev = zero
+        loss_kl_stddev = zero
+        loss_alpha_stddev = zero
 
     loss = (loss_policy_mean + loss_policy_stddev
             + loss_kl_mean + loss_kl_stddev

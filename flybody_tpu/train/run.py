@@ -204,7 +204,10 @@ def main(argv=None):
         networks=('vision' if args.task.startswith('vision')
                   and not two_level else 'default'),
         dmpo=DMPOConfig(batch_size=args.batch_size,
-                        num_samples=20 if not args.test else 4),
+                        num_samples=20 if not args.test else 4,
+                        # Frozen-LL stddev makes the stddev-KL arm
+                        # unsatisfiable (mpo.mpo_loss train_stddev).
+                        train_stddev=not two_level),
     )
     policy = critic = None
     if two_level:
