@@ -100,8 +100,9 @@ def main():
         return x
 
     env.model = jax.tree.map(to_f32, env.model)
-    env.store.qpos = to_f32(env.store.qpos)
-    env.store.qvel = to_f32(env.store.qvel)
+    if hasattr(env, 'store'):  # vision envs carry no trajectory store
+        env.store.qpos = to_f32(env.store.qpos)
+        env.store.qvel = to_f32(env.store.qvel)
     if hasattr(env, 'wbpg'):
         env.wbpg = jax.tree.map(to_f32, env.wbpg)
     env.action_min = np.asarray(env.action_min, np.float32)
