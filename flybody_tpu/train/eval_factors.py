@@ -78,7 +78,11 @@ def main(argv=None):
     p.add_argument('--num-envs', type=int, default=64)
     p.add_argument('--max-steps', type=int, default=200)
     p.add_argument('--random-baseline', action='store_true')
-    p.add_argument('--bench-solver', action='store_true', default=True)
+    p.add_argument('--bench-solver', default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help='evaluate at bench-solver settings; pass '
+                        '--no-bench-solver to use the accurate '
+                        'solver the training default uses')
     p.add_argument('--cpu', action='store_true')
     args = p.parse_args(argv)
     if args.cpu:
